@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+equivalent over the pre-registered testdata views.
+
+The extraction queries use an *invertible payload construction*
+(marie_icr_spark.sources.transcripts): transcripts are derived
+deterministically from ``documents`` — each doc's text reflowed into 8-word
+lines and wrapped in HTML / layout-JSON / markdown / plain noise — so the
+Spark side must genuinely parse and de-boilerplate the payload while the
+oracle computes the expected text directly from ``documents.text`` in SQL.
+A value-hash match therefore certifies the whole extraction pipeline.
 """
 
 from __future__ import annotations
@@ -13,26 +19,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from marie_icr_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: main-content extraction over transcripts at sf0.001."""
+    return Q.q_extract_turns(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLES)

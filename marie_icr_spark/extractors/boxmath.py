@@ -1,0 +1,242 @@
+"""Vectorized bounding-box math for layout-turn extraction.
+
+Re-expresses (fresh NumPy implementation, not a copy) the box semantics of the
+reference engine:
+
+* vertical 1-D IoU with faux width 1, clamped to [0,1], identical-box pairs
+  excluded             — ``marie/utils/overlap.py:42-103``
+* iterative line clustering over a descending IoU ladder
+  ``[0.8,0.7,0.6,0.5,0.4,0.37,0.35]`` with a bidirectional overlap-count
+  check, stop after >2 no-change rounds, contained-box removal, final y-sort
+                        — ``marie/boxes/line_processor.py:48-171``
+* word→line assignment: unique overlap wins; multiple overlaps → best IoU
+  (strict >, first wins); none → nearest line bottom to the word's vertical
+  center (strict <, first wins)
+                        — ``marie/boxes/line_processor.py:15-45``
+* block envelope (min x/y, max extents)
+                        — ``marie/utils/overlap.py:186-204``
+
+All boxes are ``[x, y, w, h]`` int arrays (XYWH). XYXY conversion mirrors
+``marie/ocr/coordinate_format.py:23-55``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Descending IoU thresholds used by the reference's line_merge ladder
+# (marie/boxes/line_processor.py:121).
+IOU_LADDER = (0.8, 0.7, 0.6, 0.5, 0.4, 0.37, 0.35)
+# Stop once the cluster count has been stable for this many consecutive
+# ladder steps (line_processor.py:122-134: `no_change_count > 2`).
+STABLE_ROUNDS = 2
+
+
+def xywh_to_xyxy(boxes: np.ndarray) -> np.ndarray:
+    """[x,y,w,h] -> [x0,y0,x1,y1] (coordinate_format.py:23-38)."""
+    boxes = np.asarray(boxes).reshape(-1, 4)
+    out = boxes.copy()
+    out[:, 2] = boxes[:, 0] + boxes[:, 2]
+    out[:, 3] = boxes[:, 1] + boxes[:, 3]
+    return out
+
+
+def xyxy_to_xywh(boxes: np.ndarray) -> np.ndarray:
+    """[x0,y0,x1,y1] -> [x,y,w,h] (coordinate_format.py:41-55)."""
+    boxes = np.asarray(boxes).reshape(-1, 4)
+    out = boxes.copy()
+    out[:, 2] = boxes[:, 2] - boxes[:, 0]
+    out[:, 3] = boxes[:, 3] - boxes[:, 1]
+    return out
+
+
+def envelope(boxes: np.ndarray) -> list[int]:
+    """Tight block envelope of XYWH boxes: [min_x, min_y, extent_w, extent_h].
+
+    Twin of ``merge_bboxes_as_block`` (overlap.py:186-204): height is the
+    *extent* max(y+h)-min(y), unlike the cluster-pass envelope below.
+    """
+    b = np.asarray(boxes).reshape(-1, 4)
+    min_x = b[:, 0].min()
+    min_y = b[:, 1].min()
+    return [
+        int(min_x),
+        int(min_y),
+        int((b[:, 0] + b[:, 2]).max() - min_x),
+        int((b[:, 1] + b[:, 3]).max() - min_y),
+    ]
+
+
+def vertical_iou_matrix(boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs vertical-interval 1-D IoU.
+
+    Returns ``(mask, iou)`` where ``mask[i, j]`` is True when box j counts as
+    a vertical overlap of box i under the reference rules
+    (overlap.py:60-103): strict interval intersection, both heights > 0, and
+    pairs with *identical coordinates* excluded (which also removes the
+    diagonal). ``iou`` is intersection / (h_i + h_j - intersection) clamped to
+    [0, 1], width treated as 1.
+    """
+    b = np.asarray(boxes, dtype=np.int64).reshape(-1, 4)
+    y0 = b[:, 1]
+    y1 = b[:, 1] + b[:, 3]
+    h = b[:, 3]
+
+    top = np.maximum(y0[:, None], y0[None, :])
+    bot = np.minimum(y1[:, None], y1[None, :])
+    inter = bot - top
+
+    overlaps = (y0[:, None] < y1[None, :]) & (y0[None, :] < y1[:, None])
+    valid = (h[:, None] > 0) & (h[None, :] > 0)
+    same = (b[:, None, :] == b[None, :, :]).all(axis=-1)
+    mask = overlaps & valid & ~same
+
+    union = (h[:, None] + h[None, :] - inter).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(union > 0, inter / union, 0.0)
+    iou = np.clip(iou, 0.0, 1.0)
+    return mask, iou
+
+
+def _cluster_pass(boxes: np.ndarray, min_iou: float) -> np.ndarray:
+    """One clustering sweep at a single IoU threshold.
+
+    Twin of ``__line_merge`` (line_processor.py:48-97): boxes are visited in
+    ascending-y order; each unvisited box seeds a group and absorbs every
+    not-yet-visited overlap with IoU >= min_iou whose own overlap count
+    equals the seed's (the reference's bidirectional "ray back" check).
+    Group envelope uses extent width but **max height** (line_processor.py:92),
+    preserved deliberately.
+    """
+    b = np.asarray(boxes, dtype=np.int64).reshape(-1, 4)
+    order = np.argsort(b[:, 1], kind="stable")
+    b = b[order]
+    n = len(b)
+
+    mask, iou = vertical_iou_matrix(b)
+    ov_count = mask.sum(axis=1)
+
+    visited = np.zeros(n, dtype=bool)
+    merged = []
+    for i in range(n):
+        if visited[i]:
+            continue
+        visited[i] = True
+        members = [i]
+        for j in np.nonzero(mask[i])[0]:
+            if visited[j] or iou[i, j] < min_iou:
+                continue
+            if ov_count[j] == ov_count[i]:
+                members.append(j)
+                visited[j] = True
+        grp = b[members]
+        min_x = grp[:, 0].min()
+        merged.append(
+            [
+                int(min_x),
+                int(grp[:, 1].min()),
+                int((grp[:, 0] + grp[:, 2]).max() - min_x),
+                int(grp[:, 3].max()),
+            ]
+        )
+    return np.asarray(merged, dtype=np.int64).reshape(-1, 4)
+
+
+def _drop_contained(boxes: np.ndarray) -> np.ndarray:
+    """Remove boxes strictly inside another box (line_processor.py:150-166)."""
+    b = np.asarray(boxes, dtype=np.int64).reshape(-1, 4)
+    if len(b) < 2:
+        return b
+    x0, y0 = b[:, 0], b[:, 1]
+    x1, y1 = b[:, 0] + b[:, 2], b[:, 1] + b[:, 3]
+    inside = (
+        (x0[None, :] > x0[:, None])
+        & (x1[None, :] < x1[:, None])
+        & (y0[None, :] > y0[:, None])
+        & (y1[None, :] < y1[:, None])
+    )
+    np.fill_diagonal(inside, False)
+    keep = ~inside.any(axis=0)
+    return b[keep]
+
+
+def cluster_lines(boxes) -> np.ndarray:
+    """Cluster word boxes into line boxes.
+
+    Twin of ``line_merge`` (line_processor.py:100-171): run ``_cluster_pass``
+    down the IoU ladder, stop early after the size has been stable for more
+    than ``STABLE_ROUNDS`` steps, drop strictly-contained boxes, y-sort.
+    Returns an (L, 4) int array of XYWH line boxes.
+    """
+    b = np.asarray(boxes, dtype=np.int64).reshape(-1, 4)
+    if len(b) == 0:
+        return b
+
+    stable = 0
+    for threshold in IOU_LADDER:
+        before = len(b)
+        b = _cluster_pass(b, threshold)
+        if len(b) == before:
+            stable += 1
+            if stable > STABLE_ROUNDS:
+                break
+
+    b = _drop_contained(b)
+    return b[np.argsort(b[:, 1], kind="stable")]
+
+
+def assign_lines(word_boxes: np.ndarray, line_boxes: np.ndarray) -> np.ndarray:
+    """1-based line number for each word box.
+
+    Twin of ``find_line_number`` (line_processor.py:15-45) vectorized over all
+    words: a single vertical overlap wins outright; several → highest IoU
+    with strict ``>`` (earliest max wins); none → nearest line *bottom* to the
+    word's vertical center (strict ``<``, earliest min wins).
+    """
+    wb = np.asarray(word_boxes, dtype=np.int64).reshape(-1, 4)
+    lb = np.asarray(line_boxes, dtype=np.int64).reshape(-1, 4)
+    n, m = len(wb), len(lb)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    if m == 0:
+        return np.full(n, -1, dtype=np.int64)
+
+    wy0, wh = wb[:, 1], wb[:, 3]
+    wy1 = wy0 + wh
+    ly0, lh = lb[:, 1], lb[:, 3]
+    ly1 = ly0 + lh
+
+    top = np.maximum(wy0[:, None], ly0[None, :])
+    bot = np.minimum(wy1[:, None], ly1[None, :])
+    inter = bot - top
+    overlaps = (wy0[:, None] < ly1[None, :]) & (ly0[None, :] < wy1[:, None])
+    valid = (wh[:, None] > 0) & (lh[None, :] > 0)
+    same = (wb[:, None, :] == lb[None, :, :]).all(axis=-1)
+    mask = overlaps & valid & ~same
+
+    union = (wh[:, None] + lh[None, :] - inter).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iou = np.where(union > 0, inter / union, 0.0)
+    iou = np.clip(iou, 0.0, 1.0)
+
+    counts = mask.sum(axis=1)
+    out = np.full(n, -1, dtype=np.int64)
+
+    one = counts == 1
+    out[one] = mask[one].argmax(axis=1) + 1
+
+    multi = counts > 1
+    if multi.any():
+        scored = np.where(mask[multi], iou[multi], -np.inf)
+        # reference keeps -1 unless some score is strictly > 0
+        best = scored.argmax(axis=1)
+        has_pos = scored.max(axis=1) > 0
+        vals = np.where(has_pos, best + 1, -1)
+        out[multi] = vals
+
+    none = out == -1
+    if none.any():
+        centers = wy0[none] + wh[none] // 2
+        dy = np.abs(centers[:, None] - ly1[None, :])
+        out[none] = dy.argmin(axis=1) + 1
+    return out

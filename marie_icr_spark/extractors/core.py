@@ -1,0 +1,77 @@
+"""Per-turn extraction dispatcher — the Spark-free twin of the engine.
+
+Sniffs the payload kind of a turn's ``text`` and routes to the matching
+extractor, mirroring the reference's engine-selection contract
+(``marie/ocr/util.py:89-151``; PSM dispatch ``marie/boxes/box_processor.py:129-162``):
+
+  layout   JSON word boxes (tool turns like pdf_reader)  → extractors.layout
+  html     embedded HTML fragments                       → extractors.html
+  markdown fenced/tool-call-noise markdown               → extractors.markdown
+  plain    anything else (fail-open identity+normalize)  → extractors.textnorm
+  empty    blank/whitespace payloads → empty result, never an error
+           (blank-page contract, marie/document/ocr_processor.py:146-154)
+
+This module is used both (a) inside the Spark pandas UDFs and (b) as the
+single-process reference extractor that produces golden outputs for the
+correctness gate (pattern of marie/ocr/mock_ocr_engine.py:35-53).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from .html import extract_html, looks_like_html
+from .layout import extract_layout, parse_layout_payload
+from .markdown import extract_markdown, looks_like_markdown
+from .textnorm import normalize_plain, span_count
+
+PAYLOAD_KINDS = ("layout", "html", "markdown", "plain", "empty")
+
+
+@dataclass
+class TurnExtraction:
+    extracted_text: str
+    span_count: int
+    payload_kind: str
+    words: list[dict[str, Any]] = field(default_factory=list)
+    lines: list[dict[str, Any]] = field(default_factory=list)
+
+
+def sniff_payload_kind(text: str) -> str:
+    """Classify a turn payload. Order matters and is pinned:
+    empty → layout(JSON) → html → markdown → plain."""
+    if text is None or not text.strip():
+        return "empty"
+    s = text.lstrip()
+    if s[0] in "[{" and parse_layout_payload(text) is not None:
+        return "layout"
+    if looks_like_html(text):
+        return "html"
+    if looks_like_markdown(text):
+        return "markdown"
+    return "plain"
+
+
+def extract_turn(text: str | None) -> TurnExtraction:
+    """Extract the main content of one turn payload. Never raises on
+    malformed input (fail-open contract, marie/pipe/extract_pipeline.py:143-154)."""
+    kind = sniff_payload_kind(text or "")
+    if kind == "empty":
+        return TurnExtraction("", 0, "empty")
+    assert text is not None
+    if kind == "layout":
+        words = parse_layout_payload(text)
+        res = extract_layout(words or [])
+        return TurnExtraction(
+            res["text"], span_count(res["text"]), "layout",
+            words=res["words"], lines=res["lines"],
+        )
+    if kind == "html":
+        res = extract_html(text)
+        return TurnExtraction(res["text"], span_count(res["text"]), "html")
+    if kind == "markdown":
+        res = extract_markdown(text)
+        return TurnExtraction(res["text"], span_count(res["text"]), "markdown")
+    out = normalize_plain(text)
+    return TurnExtraction(out, span_count(out), "plain")

@@ -1,0 +1,127 @@
+"""Layout-turn extraction: PDF/OCR word boxes → lines → reading-order text.
+
+Twin of the reference's per-page recognition/assembly path, re-expressed over
+a JSON payload of ``[{"text": str, "box": [x, y, w, h]}, ...]`` (scrambled
+order, possibly overlapping/degenerate boxes):
+
+* degenerate-region filter (w/h <= 0)      — ``marie/ocr/ocr_engine.py:277-287``
+* line clustering (IoU ladder)             — ``marie/boxes/line_processor.py:48-171``
+* word→line assignment                     — ``line_processor.py:15-45``
+* LTR x-sort, word id = rank               — ``marie/document/ocr_processor.py:160-190``
+* per-line regroup in ascending line order, sequential ``word_index``,
+  ``" "`` text join, envelope bbox, avg confidence round 4
+                                           — ``ocr_processor.py:210-247``
+* turn text = line texts sorted by line number joined ``"\n"``
+                                           — ``meta_to_text``, ``marie/ocr/util.py:76-82``
+
+Blank payloads return the empty result rather than erroring
+(``ocr_processor.py:146-154``).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+
+from .boxmath import assign_lines, cluster_lines, envelope
+from .textnorm import join_lines, join_words
+
+# Word confidence for already-textual payloads: there is no recognizer, so
+# every span is exact. Rounding contract: word conf round 3, line conf round 4
+# (ocr_processor.py:174, :246).
+WORD_CONFIDENCE = 1.0
+
+
+def parse_layout_payload(text: str) -> list[dict[str, Any]] | None:
+    """Parse a layout JSON payload; None if it isn't one.
+
+    Accepts either a bare list of word dicts or ``{"words": [...]}``; each
+    word needs a string ``text`` and a 4-element numeric ``box`` (region
+    validation contract, ``marie/ocr/ocr_engine.py:249-256`` — required keys,
+    ints coerced).
+    """
+    s = text.strip()
+    if not s or s[0] not in "[{":
+        return None
+    try:
+        data = json.loads(s)
+    except (ValueError, RecursionError):
+        return None
+    if isinstance(data, dict):
+        data = data.get("words")
+    if not isinstance(data, list):
+        return None
+    words = []
+    for item in data:
+        if not isinstance(item, dict):
+            return None
+        txt = item.get("text")
+        box = item.get("box")
+        if not isinstance(txt, str) or not isinstance(box, (list, tuple)):
+            return None
+        if len(box) != 4:
+            return None
+        try:
+            box = [int(v) for v in box]
+        except (TypeError, ValueError):
+            return None
+        words.append({"text": txt, "box": box})
+    return words
+
+
+def extract_layout(words_in: list[dict[str, Any]]) -> dict[str, Any]:
+    """Assemble scrambled word boxes into reading-order lines and text.
+
+    Returns ``{"text", "words", "lines"}`` with the word/line schemas of
+    FIXTURES.md §3 (mirroring ocr_processor.py:180-190/:241-247).
+    """
+    # Degenerate-box filter (ocr_engine.py:277-287): zero/negative extents.
+    usable = [w for w in words_in if w["box"][2] > 0 and w["box"][3] > 0]
+    if not usable:
+        return {"text": "", "words": [], "lines": []}
+
+    boxes = np.asarray([w["box"] for w in usable], dtype=np.int64)
+    texts = [w["text"] for w in usable]
+
+    line_boxes = cluster_lines(boxes)
+    line_no = assign_lines(boxes, line_boxes)
+
+    # LTR reindex by x (ocr_processor.py:160-190): id = rank in x order.
+    order = np.argsort(boxes[:, 0], kind="stable")
+    words = [
+        {
+            "id": rank,
+            "text": texts[idx],
+            "confidence": round(WORD_CONFIDENCE, 3),
+            "box": [int(v) for v in boxes[idx]],
+            "line": int(line_no[idx]),
+        }
+        for rank, idx in enumerate(order)
+    ]
+
+    # Per-line regroup in ascending line order (ocr_processor.py:210-247).
+    out_words: list[dict[str, Any]] = []
+    out_lines: list[dict[str, Any]] = []
+    word_index = 0
+    for i, ln in enumerate(sorted({w["line"] for w in words})):
+        picks = [w for w in words if w["line"] == ln]
+        for w in picks:
+            w["word_index"] = word_index
+            word_index += 1
+            out_words.append(w)
+        out_lines.append(
+            {
+                "line": i + 1,
+                "wordids": [w["id"] for w in picks],
+                "text": join_words([w["text"] for w in picks]),
+                "bbox": envelope([w["box"] for w in picks]),
+                "confidence": round(
+                    float(np.average([w["confidence"] for w in picks])), 4
+                ),
+            }
+        )
+
+    text = join_lines([ln["text"] for ln in sorted(out_lines, key=lambda k: k["line"])])
+    return {"text": text, "words": out_words, "lines": out_lines}

@@ -1,0 +1,82 @@
+"""Conversation reassembly: ordered per-turn texts → per-conversation text.
+
+Twin of the reference's page reassembly — frames enumerated in page order and
+joined with ``"\\f"`` (``marie/renderer/text_renderer.py:158-172``; SURVEY.md
+§2.5 W6) — expressed as a **two-phase ordered aggregation** so a hot
+conversation (millions of turns) never lands in a single reducer:
+
+phase 1: group by (conv_id, bucket = turn_idx // bucket_width) — each bucket
+         holds at most ``bucket_width`` turns, so partial state is bounded
+         and the pre-aggregation spreads hot conv_ids across the cluster;
+phase 2: group by conv_id over the (few) bucket partials, ordered by bucket.
+
+Both phases are hash aggregations with map-side partials; ordering inside a
+group uses ``sort_array`` over (key, text) structs — deterministic, no window
+shuffle of raw turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..extractors.textnorm import TURN_JOIN
+
+DEFAULT_BUCKET_WIDTH = 256
+
+
+def assemble_conversations(
+    extracted: DataFrame,
+    text_col: str = "extracted_text",
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+) -> DataFrame:
+    """(conv_id, turn_idx, text) → (conv_id, conversation_text, turn_count).
+
+    ``conversation_text`` is the turn texts in ascending turn_idx order
+    joined with the page separator ``"\\f"``.
+    """
+    bucket = (F.col("turn_idx") / bucket_width).cast("long")
+    partial = (
+        extracted.withColumn("_bucket", bucket)
+        .groupBy("conv_id", "_bucket")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("turn_idx"), F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                TURN_JOIN,
+            ).alias("_part"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+    )
+    return (
+        partial.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_bucket"), F.col("_part")))
+                    ),
+                    lambda s: s["_part"],
+                ),
+                TURN_JOIN,
+            ).alias("conversation_text"),
+            F.sum("_cnt").alias("turn_count"),
+        )
+    )
+
+
+def ordered_turns(extracted: DataFrame) -> DataFrame:
+    """Stable turn ordering view: adds ``turn_rank`` (1..N per conversation).
+
+    The window form of the north rule's stable-ordering guarantee
+    (Window.partitionBy(conv_id).orderBy(turn_idx); SURVEY.md §2.5 W6) for
+    consumers that need per-turn rows rather than the concatenated text.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return extracted.withColumn("turn_rank", F.row_number().over(w))

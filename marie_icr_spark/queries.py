@@ -1,0 +1,148 @@
+"""Query registry: every implemented operator exposed as (spark, sf_dir) ->
+DataFrame, plus the matching DuckDB oracle SQL.
+
+Column names are aliased identically on both sides — the driver's comparator
+sorts columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.assembly import assemble_conversations
+from .operators.extraction import extract_turns
+from .sources.transcripts import CONV_MOD, WORDS_PER_LINE, transcripts_from_docs
+
+# ---------------------------------------------------------------------------
+# Extraction pipeline (SURVEY.md §2.8/§7.0 — the core semantics)
+# ---------------------------------------------------------------------------
+
+# DuckDB fragment: canonical transcript derivation from `documents`
+# (must mirror sources.transcripts.transcripts_from_docs with replicate=1).
+_ORACLE_DERIVE = f"""
+WITH d AS (
+  SELECT
+    doc_id,
+    'conv-' || lpad(CAST(doc_id % {CONV_MOD} AS VARCHAR), 6, '0') AS conv_id,
+    CAST(doc_id // {CONV_MOD} AS INTEGER) AS turn_idx,
+    doc_id % 100 AS kb,
+    string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+),
+g AS (
+  SELECT
+    conv_id,
+    turn_idx,
+    kb,
+    CASE WHEN kb >= 98 THEN '' ELSE
+      array_to_string(
+        list_transform(
+          range(CAST(ceil(len(w) / {WORDS_PER_LINE}.0) AS BIGINT)),
+          i -> array_to_string(w[i*{WORDS_PER_LINE}+1 : i*{WORDS_PER_LINE}+{WORDS_PER_LINE}], ' ')
+        ), chr(10))
+    END AS extracted_text,
+    CAST(CASE WHEN kb >= 98 THEN 0
+         ELSE ceil(len(w) / {WORDS_PER_LINE}.0) END AS INTEGER) AS span_count
+  FROM d
+)
+"""
+
+
+def q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-turn main-content extraction (html/layout/markdown/plain)."""
+    t = transcripts_from_docs(spark, sf_dir)
+    out = extract_turns(t)
+    return out.select("conv_id", "turn_idx", "extracted_text", "span_count")
+
+
+ORACLE_EXTRACT_TURNS = (
+    _ORACLE_DERIVE
+    + "SELECT conv_id, turn_idx, extracted_text, span_count FROM g"
+)
+
+
+def q_extract_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-kind routing check (engine-selection parity, SURVEY §2.8 B12)."""
+    t = transcripts_from_docs(spark, sf_dir)
+    return (
+        extract_turns(t)
+        .groupBy("payload_kind")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum("span_count").alias("total_spans"),
+        )
+    )
+
+
+ORACLE_EXTRACT_KIND_COUNTS = (
+    _ORACLE_DERIVE
+    + """
+SELECT
+  CASE WHEN kb < 40 THEN 'html' WHEN kb < 65 THEN 'layout'
+       WHEN kb < 90 THEN 'markdown' WHEN kb < 98 THEN 'plain'
+       ELSE 'empty' END AS payload_kind,
+  COUNT(*) AS turn_count,
+  SUM(span_count) AS total_spans
+FROM g GROUP BY 1
+"""
+)
+
+
+def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted reassembly: conversation text in stable turn order
+    joined with "\\f" (SURVEY §2.5 W6 / renderer S8)."""
+    t = transcripts_from_docs(spark, sf_dir)
+    return assemble_conversations(extract_turns(t)).select(
+        "conv_id", "conversation_text", "turn_count"
+    )
+
+
+ORACLE_ASSEMBLE = (
+    _ORACLE_DERIVE
+    + """
+SELECT conv_id,
+       string_agg(extracted_text, chr(12) ORDER BY turn_idx) AS conversation_text,
+       COUNT(*) AS turn_count
+FROM g GROUP BY conv_id
+"""
+)
+
+
+def q_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn-ordering window (north rule; SURVEY §2.5 W6/W2)."""
+    from pyspark.sql.window import Window
+
+    t = transcripts_from_docs(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w).cast("int").alias("turn_rank"),
+    )
+
+
+ORACLE_TURN_ORDER = (
+    _ORACLE_DERIVE
+    + """
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INTEGER)
+         AS turn_rank
+FROM g
+"""
+)
+
+
+QUERIES = {
+    "extract_turns": q_extract_turns,
+    "extract_kind_counts": q_extract_kind_counts,
+    "assemble_conversations": q_assemble_conversations,
+    "turn_order": q_turn_order,
+}
+
+ORACLES = {
+    "extract_turns": ORACLE_EXTRACT_TURNS,
+    "extract_kind_counts": ORACLE_EXTRACT_KIND_COUNTS,
+    "assemble_conversations": ORACLE_ASSEMBLE,
+    "turn_order": ORACLE_TURN_ORDER,
+}

@@ -1,0 +1,88 @@
+"""End-to-end golden equality of the Spark extraction vs the pure-Python twin.
+
+The correctness gate of the north rule: exact per-turn extracted-text
+equality under stable turn ordering, checked via an inner join on
+(conv_id, turn_idx) with full-count verification (FIXTURES.md §3)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from marie_icr_spark.extractors.textnorm import TURN_JOIN
+from marie_icr_spark.operators.assembly import assemble_conversations, ordered_turns
+from marie_icr_spark.operators.extraction import extract_turns, salt_repartition
+from marie_icr_spark.sources.transcripts import TRANSCRIPT_SCHEMA, synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    tdf, gdf = synth_transcripts(n_convs=40, seed=42, hot_factor=30)
+    sdf = spark.createDataFrame(tdf, schema=TRANSCRIPT_SCHEMA)
+    return sdf, tdf, gdf
+
+
+def test_golden_per_turn_equality(spark, synth):
+    sdf, tdf, gdf = synth
+    out = extract_turns(salt_repartition(sdf, 8, salt_buckets=16)).toPandas()
+    assert len(out) == len(gdf)
+
+    merged = out.merge(
+        gdf, on=["conv_id", "turn_idx"], suffixes=("_out", "_gold"), how="inner"
+    )
+    assert len(merged) == len(gdf), "join must cover every golden turn"
+    mism = merged[merged["extracted_text_out"] != merged["extracted_text_gold"]]
+    assert len(mism) == 0, mism.head(5).to_string()
+    assert (merged["span_count_out"] == merged["span_count_gold"]).all()
+    assert (merged["payload_kind_out"] == merged["payload_kind_gold"]).all()
+
+
+def test_layout_struct_schema(spark, synth):
+    sdf, tdf, gdf = synth
+    full = extract_turns(sdf, with_structs=True)
+    layout = full.filter(F.col("payload_kind") == "layout")
+    rows = layout.limit(50).collect()
+    assert rows, "synth data must include layout turns"
+    for r in rows:
+        # word_index is sequential in (line, x) order; line ids are 1..N
+        idxs = [w["word_index"] for w in r["words"]]
+        assert idxs == sorted(idxs)
+        line_ids = [ln["line"] for ln in r["lines"]]
+        assert line_ids == list(range(1, len(line_ids) + 1))
+        by_id = {w["id"]: w["text"] for w in r["words"]}
+        for ln in r["lines"]:
+            # wordids resolve to the line text in pick order
+            # (ocr_processor.py:241-247: lines renumbered 1..N, words keep
+            # their raw cluster line number)
+            assert ln["text"] == " ".join(by_id[i] for i in ln["wordids"])
+
+
+def test_assembly_matches_pandas_golden(spark, synth):
+    sdf, tdf, gdf = synth
+    out = assemble_conversations(extract_turns(sdf), bucket_width=7).toPandas()
+
+    g = (
+        gdf.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["extracted_text"]
+        .agg(TURN_JOIN.join)
+        .reset_index()
+    )
+    merged = out.merge(g, on="conv_id")
+    assert len(merged) == gdf["conv_id"].nunique()
+    assert (merged["conversation_text"] == merged["extracted_text"]).all()
+    # hot conversation 0 is intact despite bucketed two-phase aggregation
+    hot = merged[merged["conv_id"] == "conv-00000000"].iloc[0]
+    assert hot["turn_count"] == (gdf["conv_id"] == "conv-00000000").sum()
+
+
+def test_ordered_turns_rank(spark, synth):
+    sdf, tdf, gdf = synth
+    out = ordered_turns(extract_turns(sdf)).toPandas()
+    grp = out.sort_values(["conv_id", "turn_idx"]).groupby("conv_id")
+    for _, g in grp:
+        assert g["turn_rank"].tolist() == list(range(1, len(g) + 1))
+
+
+def test_extraction_plan_is_shuffle_free(spark, synth):
+    sdf, tdf, gdf = synth
+    plan = extract_turns(sdf)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
