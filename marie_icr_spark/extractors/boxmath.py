@@ -56,15 +56,13 @@ def envelope(boxes: np.ndarray) -> list[int]:
     Twin of ``merge_bboxes_as_block`` (overlap.py:186-204): height is the
     *extent* max(y+h)-min(y), unlike the cluster-pass envelope below.
     """
-    b = np.asarray(boxes).reshape(-1, 4)
-    min_x = b[:, 0].min()
-    min_y = b[:, 1].min()
-    return [
-        int(min_x),
-        int(min_y),
-        int((b[:, 0] + b[:, 2]).max() - min_x),
-        int((b[:, 1] + b[:, 3]).max() - min_y),
-    ]
+    # plain-Python reductions: envelope is called per line over a handful of
+    # boxes, where numpy dispatch overhead dominates
+    min_x = min(b[0] for b in boxes)
+    min_y = min(b[1] for b in boxes)
+    max_x1 = max(b[0] + b[2] for b in boxes)
+    max_y1 = max(b[1] + b[3] for b in boxes)
+    return [int(min_x), int(min_y), int(max_x1 - min_x), int(max_y1 - min_y)]
 
 
 def vertical_iou_matrix(boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -114,32 +112,39 @@ def _cluster_pass(boxes: np.ndarray, min_iou: float) -> np.ndarray:
     n = len(b)
 
     mask, iou = vertical_iou_matrix(b)
+    if not mask.any():
+        # no vertical overlaps at all → every box is its own group and no
+        # lower threshold can ever merge anything (singleton envelope == box)
+        return b, False
     ov_count = mask.sum(axis=1)
 
     visited = np.zeros(n, dtype=bool)
-    merged = []
+    labels = np.empty(n, dtype=np.int64)
+    n_groups = 0
     for i in range(n):
         if visited[i]:
             continue
         visited[i] = True
-        members = [i]
+        labels[i] = n_groups
         for j in np.nonzero(mask[i])[0]:
             if visited[j] or iou[i, j] < min_iou:
                 continue
             if ov_count[j] == ov_count[i]:
-                members.append(j)
+                labels[j] = n_groups
                 visited[j] = True
-        grp = b[members]
-        min_x = grp[:, 0].min()
-        merged.append(
-            [
-                int(min_x),
-                int(grp[:, 1].min()),
-                int((grp[:, 0] + grp[:, 2]).max() - min_x),
-                int(grp[:, 3].max()),
-            ]
-        )
-    return np.asarray(merged, dtype=np.int64).reshape(-1, 4)
+        n_groups += 1
+
+    # vectorized group envelopes: extent width, MAX height (see docstring)
+    big = np.int64(1) << 60
+    min_x = np.full(n_groups, big)
+    min_y = np.full(n_groups, big)
+    max_x1 = np.full(n_groups, -big)
+    max_h = np.full(n_groups, -big)
+    np.minimum.at(min_x, labels, b[:, 0])
+    np.minimum.at(min_y, labels, b[:, 1])
+    np.maximum.at(max_x1, labels, b[:, 0] + b[:, 2])
+    np.maximum.at(max_h, labels, b[:, 3])
+    return np.column_stack([min_x, min_y, max_x1 - min_x, max_h]), True
 
 
 def _drop_contained(boxes: np.ndarray) -> np.ndarray:
@@ -175,7 +180,9 @@ def cluster_lines(boxes) -> np.ndarray:
     stable = 0
     for threshold in IOU_LADDER:
         before = len(b)
-        b = _cluster_pass(b, threshold)
+        b, had_overlaps = _cluster_pass(b, threshold)
+        if not had_overlaps:
+            break  # fixpoint: no vertical overlaps left at any threshold
         if len(b) == before:
             stable += 1
             if stable > STABLE_ROUNDS:

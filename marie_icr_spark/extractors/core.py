@@ -38,31 +38,37 @@ class TurnExtraction:
     lines: list[dict[str, Any]] = field(default_factory=list)
 
 
-def sniff_payload_kind(text: str) -> str:
-    """Classify a turn payload. Order matters and is pinned:
-    empty → layout(JSON) → html → markdown → plain."""
+def _sniff(text: str) -> tuple[str, list | None]:
+    """Classify a turn payload; returns (kind, parsed_layout_words|None).
+    Order matters and is pinned: empty → layout(JSON) → html → markdown →
+    plain."""
     if text is None or not text.strip():
-        return "empty"
+        return "empty", None
     s = text.lstrip()
-    if s[0] in "[{" and parse_layout_payload(text) is not None:
-        return "layout"
+    if s[0] in "[{":
+        words = parse_layout_payload(text)
+        if words is not None:
+            return "layout", words
     if looks_like_html(text):
-        return "html"
+        return "html", None
     if looks_like_markdown(text):
-        return "markdown"
-    return "plain"
+        return "markdown", None
+    return "plain", None
+
+
+def sniff_payload_kind(text: str) -> str:
+    return _sniff(text)[0]
 
 
 def extract_turn(text: str | None) -> TurnExtraction:
     """Extract the main content of one turn payload. Never raises on
     malformed input (fail-open contract, marie/pipe/extract_pipeline.py:143-154)."""
-    kind = sniff_payload_kind(text or "")
+    kind, layout_words = _sniff(text or "")
     if kind == "empty":
         return TurnExtraction("", 0, "empty")
     assert text is not None
     if kind == "layout":
-        words = parse_layout_payload(text)
-        res = extract_layout(words or [])
+        res = extract_layout(layout_words or [])
         return TurnExtraction(
             res["text"], span_count(res["text"]), "layout",
             words=res["words"], lines=res["lines"],

@@ -96,7 +96,9 @@ def _tokenize(src: str) -> Iterator[tuple[str, str, dict[str, str]]]:
         inner = src[m.end() : end]
         selfclose = inner.rstrip().endswith("/")
         attrs: dict[str, str] = {}
-        if not closing and inner:
+        # only class/id feed the boilerplate heuristic — skip attr parsing
+        # unless they can be present (hot-path: most tags have neither)
+        if not closing and inner and ("class" in inner or "id" in inner):
             for am in _ATTR_RE.finditer(inner.rstrip("/").strip()):
                 name = am.group(1).lower()
                 val = am.group(2) or ""

@@ -88,25 +88,26 @@ def extract_layout(words_in: list[dict[str, Any]]) -> dict[str, Any]:
     line_boxes = cluster_lines(boxes)
     line_no = assign_lines(boxes, line_boxes)
 
-    # LTR reindex by x (ocr_processor.py:160-190): id = rank in x order.
+    # LTR reindex by x (ocr_processor.py:160-190): id = rank in x order;
+    # group per line in one pass (x order within the line is preserved).
     order = np.argsort(boxes[:, 0], kind="stable")
-    words = [
-        {
+    by_line: dict[int, list[dict[str, Any]]] = {}
+    for rank, idx in enumerate(order):
+        w = {
             "id": rank,
             "text": texts[idx],
             "confidence": round(WORD_CONFIDENCE, 3),
             "box": [int(v) for v in boxes[idx]],
             "line": int(line_no[idx]),
         }
-        for rank, idx in enumerate(order)
-    ]
+        by_line.setdefault(w["line"], []).append(w)
 
     # Per-line regroup in ascending line order (ocr_processor.py:210-247).
     out_words: list[dict[str, Any]] = []
     out_lines: list[dict[str, Any]] = []
     word_index = 0
-    for i, ln in enumerate(sorted({w["line"] for w in words})):
-        picks = [w for w in words if w["line"] == ln]
+    for i, ln in enumerate(sorted(by_line)):
+        picks = by_line[ln]
         for w in picks:
             w["word_index"] = word_index
             word_index += 1
@@ -118,7 +119,7 @@ def extract_layout(words_in: list[dict[str, Any]]) -> dict[str, Any]:
                 "text": join_words([w["text"] for w in picks]),
                 "bbox": envelope([w["box"] for w in picks]),
                 "confidence": round(
-                    float(np.average([w["confidence"] for w in picks])), 4
+                    sum(w["confidence"] for w in picks) / len(picks), 4
                 ),
             }
         )

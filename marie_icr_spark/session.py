@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 2048
+ARROW_BATCH_ROWS = 8192
 
 
 def build_session(

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule (N vs 4N executors).
+
+A real two-cluster run can't happen in this sandbox, so per the driver
+instruction we run the SAME extraction job at two parallelism levels on the
+SAME materialized input and report turns/sec at both plus
+
+    efficiency = throughput_4N / (4 × throughput_N)
+
+Faithful emulation of cluster size: each run is a separate JVM **pinned with
+taskset to exactly that many CPUs** (an N-executor cluster owns N×cores — the
+JVM/driver overhead must come out of the same budget at both levels). Each
+child does one full untimed warmup pass (worker spin-up) and reports
+best-of-3 timed runs. Defaults to N=4 vs 4N=16 so the 4N level is not
+the whole 32-core box (full-machine runs saturate memory bandwidth and the
+JVM side, which measures the sandbox, not the engine).
+
+Usage: python scaling_bench.py [--n 8] [--xn 32] [--sf-dir DIR]
+                               [--replicate R] [--record]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+_CHILD = r"""
+import json, sys, time
+cores, path = int(sys.argv[1]), sys.argv[2]
+from marie_icr_spark.session import build_session
+from marie_icr_spark.operators.extraction import extract_turns
+from pyspark.sql import functions as F
+spark = build_session(app_name=f"scale-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+t = spark.read.parquet(path)
+n = t.count()
+extract_turns(t).agg(F.count(F.lit(1))).collect()  # full warmup pass
+best = None
+for _ in range(3):
+    t0 = time.time()
+    extract_turns(t).agg(F.sum("span_count"), F.count(F.lit(1))).collect()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cores": cores, "turns": n, "sec": round(best, 3),
+                  "turns_per_sec": round(n / best, 1)}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, path: str) -> dict:
+    cmd = [sys.executable, "-c", _CHILD, str(cores), path]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"child local[{cores}] failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--xn", type=int, default=16)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--replicate", type=int, default=int(
+        os.environ.get("BENCH_REPLICATE", "120")))
+    ap.add_argument("--record", action="store_true")
+    args = ap.parse_args()
+
+    # materialize once (shared input for both levels)
+    from marie_icr_spark.session import build_session
+
+    import bench as B
+
+    spark = build_session(app_name="scale-prep", master="local[16]",
+                          shuffle_partitions=16)
+    path = B.materialize_transcripts(spark, args.sf_dir, args.replicate)
+    spark.stop()
+
+    lo = run_level(args.n, path)
+    hi = run_level(args.xn, path)
+    ratio = args.xn / args.n
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"x (local[{args.n}] -> local[{args.xn}], taskset-pinned)",
+        "n": lo,
+        "xn": hi,
+        "sf": os.path.basename(os.path.normpath(args.sf_dir)),
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    if args.record:
+        row = (
+            f"| {result['sf']} | {lo['turns']} | local[{args.n}] pinned: "
+            f"{lo['turns_per_sec']}/s | local[{args.xn}] pinned: "
+            f"{hi['turns_per_sec']}/s | {result['value']} |\n"
+        )
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH.md"),
+                "a") as f:
+            f.write(row)
+
+
+if __name__ == "__main__":
+    main()
