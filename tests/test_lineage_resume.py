@@ -1,0 +1,81 @@
+"""Kill → rerun → byte-identical final state (FIXTURES.md §4 resume test)."""
+
+import pandas as pd
+import pytest
+
+from marie_icr_spark.plans.lineage import (
+    STATUS_COMPLETED,
+    SimulatedFailure,
+    completed_buckets,
+    read_lineage,
+    read_results,
+    run_extraction_job,
+)
+from marie_icr_spark.sources.transcripts import TRANSCRIPT_SCHEMA, synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    tdf, _ = synth_transcripts(n_convs=30, seed=7, hot_factor=10)
+    return spark.createDataFrame(tdf, schema=TRANSCRIPT_SCHEMA)
+
+
+def _collect_sorted(spark, path):
+    df = read_results(spark, path).toPandas()
+    return (
+        df.sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+        .reindex(sorted(df.columns), axis=1)
+    )
+
+
+def test_uninterrupted_run_commits_all_buckets(spark, sdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("results_full"))
+    summary = run_extraction_job(spark, sdf, out, n_buckets=8, buckets_per_commit=3)
+    assert sorted(summary["buckets_processed"]) == list(range(8))
+    lineage = read_lineage(spark, out).toPandas()
+    assert set(lineage["bucket"]) == set(range(8))
+    assert (lineage["status"] == STATUS_COMPLETED).all()
+    res = _collect_sorted(spark, out)
+    assert len(res) == sdf.count()
+
+
+def test_kill_then_resume_is_byte_identical(spark, sdf, tmp_path_factory):
+    ref_dir = str(tmp_path_factory.mktemp("results_ref"))
+    run_extraction_job(spark, sdf, ref_dir, n_buckets=8, buckets_per_commit=3)
+    reference = _collect_sorted(spark, ref_dir)
+
+    out = str(tmp_path_factory.mktemp("results_killed"))
+    with pytest.raises(SimulatedFailure):
+        run_extraction_job(
+            spark, sdf, out, n_buckets=8, buckets_per_commit=3,
+            fail_after_commits=1,
+        )
+    done_after_kill = completed_buckets(spark, out)
+    assert 0 < len(done_after_kill) < 8, "kill must land mid-run"
+
+    summary = run_extraction_job(
+        spark, sdf, out, n_buckets=8, buckets_per_commit=3
+    )
+    # resume skipped exactly the committed buckets
+    assert set(summary["buckets_skipped"]) == done_after_kill
+    assert set(summary["buckets_processed"]) == set(range(8)) - done_after_kill
+
+    resumed = _collect_sorted(spark, out)
+    pd.testing.assert_frame_equal(resumed, reference)
+
+    # lineage carries identical per-bucket content hashes for both runs
+    lin_ref = read_lineage(spark, ref_dir).toPandas().set_index("bucket")
+    lin_res = read_lineage(spark, out).toPandas().set_index("bucket")
+    for b in range(8):
+        assert lin_ref.loc[b, "partition_hash"] == lin_res.loc[b, "partition_hash"]
+
+
+def test_rerun_on_complete_output_is_noop(spark, sdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("results_noop"))
+    run_extraction_job(spark, sdf, out, n_buckets=4)
+    before = _collect_sorted(spark, out)
+    summary = run_extraction_job(spark, sdf, out, n_buckets=4)
+    assert summary["buckets_processed"] == []
+    assert summary["commits"] == 0
+    pd.testing.assert_frame_equal(_collect_sorted(spark, out), before)
