@@ -69,6 +69,29 @@ def assemble_conversations(
     )
 
 
+def segment_conversations(
+    transcripts: DataFrame, boundary_role: str = "system"
+) -> DataFrame:
+    """Conversation split detection (SURVEY §2.9 N2 — the reference tags
+    per-page ``split`` markers, ``marie/components/document_splitter/
+    transformers.py:121-229``): a turn with ``boundary_role`` starts a new
+    segment; segment_id = running count of boundaries in turn order.
+    Output: input + (segment_id int)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return transcripts.withColumn(
+        "segment_id",
+        F.sum(F.when(F.col("role") == boundary_role, 1).otherwise(0))
+        .over(w)
+        .cast("int"),
+    )
+
+
 def ordered_turns(extracted: DataFrame) -> DataFrame:
     """Stable turn ordering view: adds ``turn_rank`` (1..N per conversation).
 

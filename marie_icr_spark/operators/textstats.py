@@ -1,0 +1,124 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+Language-ID (stopword-ratio heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting (whitespace + word-regex), and document
+fingerprinting (rolling hash). All are pure Column expressions — JVM-side,
+whole-stage-codegen, no Python in the hot path — and every formula has an
+exact DuckDB twin for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import rolling_fingerprint, round_half_up, ws_tokens
+
+# Pinned stopword sets (deterministic heuristic, not a model).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "los", "y", "un", "una", "es", "por", "con"),
+    "fr": ("le", "les", "et", "de", "une", "est", "que", "pour"),
+}
+LANG_MIN_SCORE = 0.05
+WORD_REGEX = "[A-Za-z]+|[0-9]+"  # BPE-ish word/number split (pinned)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_ws_tokens, n_word_tokens, avg_token_len)."""
+    toks = ws_tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(WORD_REGEX), 0))
+        .cast("long")
+        .alias("n_word_tokens"),
+        round_half_up(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def _lang_scores(toks):
+    return {
+        lang: round_half_up(
+            F.size(F.filter(toks, lambda t: t.isin(*words))) / F.size(toks), 6
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID: argmax score, tie → lang asc, 'und' when
+    the best score is below LANG_MIN_SCORE.
+    Output: (doc_id, pred_lang, lang_score)."""
+    toks = ws_tokens(F.col(text_col))
+    scores = _lang_scores(toks)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("lang"), scores[lang].alias("score")
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # argmax with lang-asc tie-break: sort by (-score, lang) and take head
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["score"] > b["score"], -1)
+        .when(a["score"] < b["score"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]
+    return df.select(
+        "doc_id",
+        F.when(best["score"] >= LANG_MIN_SCORE, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality in [0,1] (pinned formula):
+    0.4·min(1, tokens/64) + 0.3·(1 − min(1, 4·punct_ratio))
+    + 0.3·min(1, 4·stopword_ratio).
+    Output: (doc_id, n_tokens, punct_ratio, stop_ratio, quality)."""
+    toks = ws_tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[^A-Za-z0-9 ]", "")
+    )
+    all_stop = tuple({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*all_stop)))
+    punct_ratio = round_half_up(punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = round_half_up(n_stop / F.greatest(n_toks, F.lit(1)), 6)
+    quality = round_half_up(
+        0.4 * F.least(F.lit(1.0), n_toks / F.lit(64.0))
+        + 0.3 * (1.0 - F.least(F.lit(1.0), punct_ratio * 4))
+        + 0.3 * F.least(F.lit(1.0), stop_ratio * 4),
+        4,
+    )
+    return df.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling token hash (doc_id, fingerprint)."""
+    return df.select(
+        "doc_id",
+        rolling_fingerprint(ws_tokens(F.col(text_col))).alias("fingerprint"),
+    )

@@ -1,0 +1,164 @@
+"""Ensemble voting operators as distributed hash aggregations.
+
+Re-expresses the reference's voting stack — word-level majority voting across
+OCR engines (``marie/ocr/voting_ocr_engine.py:186-254``), max-confidence
+candidate pick (``voting_ocr_engine.py:156-184``) and page-classification
+``MajorityVoter``/``MaxScoreVoter`` with ``abstain``/``best``/
+``best_with_diff`` tie policies (``marie/pipe/voting.py:63-233``) — as
+groupBy + window aggregations (partial/map-side combine comes free from
+Catalyst; no driver-side loops).
+
+Determinism note: where the reference's tie behavior depends on Python dict /
+list iteration order, we pin a total order (vote count desc, score desc,
+value asc) so results are stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.columns import round_half_up
+
+TIE_ABSTAIN = "abstain"
+TIE_BEST = "best"
+TIE_BEST_WITH_DIFF = "best_with_diff"
+
+
+def word_majority_vote(
+    df: DataFrame,
+    key_cols: list[str],
+    candidate_col: str,
+    confidence_col: str,
+    min_vote_count: int = 2,
+) -> DataFrame:
+    """Per key, the candidate with the most votes; ties broken by summed
+    confidence then candidate text (voting_ocr_engine.py:186-254). Groups
+    whose winner has fewer than ``min_vote_count`` votes fall back to the
+    single highest-confidence candidate (:246-254 → max-confidence pick).
+
+    Output: key_cols + (voted, votes, vote_confidence).
+    """
+    grouped = df.groupBy(*key_cols, candidate_col).agg(
+        F.count(F.lit(1)).alias("votes"),
+        F.sum(confidence_col).alias("conf_sum"),
+        F.max(confidence_col).alias("conf_max"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("votes").desc(), F.col("conf_sum").desc(), F.col(candidate_col).asc()
+    )
+    ranked = grouped.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
+    # fallback: below the vote threshold, pick max-confidence single candidate
+    wmax = Window.partitionBy(*key_cols).orderBy(
+        F.col(confidence_col).desc(), F.col(candidate_col).asc()
+    )
+    maxconf = (
+        df.withColumn("_rm", F.row_number().over(wmax))
+        .filter(F.col("_rm") == 1)
+        .select(*key_cols, F.col(candidate_col).alias("_best_single"),
+                F.col(confidence_col).alias("_best_conf"))
+    )
+    return (
+        ranked.join(maxconf, key_cols)
+        .select(
+            *key_cols,
+            F.when(F.col("votes") >= min_vote_count, F.col(candidate_col))
+            .otherwise(F.col("_best_single"))
+            .alias("voted"),
+            F.col("votes").alias("votes"),
+            round_half_up(
+                F.when(F.col("votes") >= min_vote_count,
+                       F.col("conf_sum") / F.col("votes"))
+                .otherwise(F.col("_best_conf")),
+                4,
+            ).alias("vote_confidence"),
+        )
+    )
+
+
+def max_score_pick(
+    df: DataFrame, key_cols: list[str], value_col: str, score_col: str
+) -> DataFrame:
+    """Per key, the candidate with the highest score (MaxScoreVoter /
+    max-confidence pick, voting_ocr_engine.py:156-184); deterministic
+    tie-break on value asc. Output: key_cols + (picked, best_score)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(score_col).desc(), F.col(value_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *key_cols,
+            F.col(value_col).alias("picked"),
+            F.col(score_col).alias("best_score"),
+        )
+    )
+
+
+def class_majority_vote(
+    df: DataFrame,
+    key_cols: list[str],
+    class_col: str,
+    score_col: str,
+    tie_break: str = TIE_ABSTAIN,
+    max_diff: float = 0.1,
+) -> DataFrame:
+    """MajorityVoter semantics (marie/pipe/voting.py:63-148): per key, the
+    class with the most votes; winner score = round(avg of winner candidate
+    scores, 4). On a vote tie:
+
+      abstain        → NULL class, score 0.0
+      best           → highest-scoring candidate among tied classes
+      best_with_diff → top candidate if top-2 scores differ < max_diff,
+                       else abstain
+
+    Output: key_cols + (classification, vote_score, n_candidates).
+    """
+    per_class = df.groupBy(*key_cols, class_col).agg(
+        F.count(F.lit(1)).alias("votes"),
+        round_half_up(F.avg(score_col), 4).alias("avg_score"),
+        F.max(score_col).alias("max_score"),
+    )
+    wk = Window.partitionBy(*key_cols)
+    stats = (
+        per_class.withColumn("_max_votes", F.max("votes").over(wk))
+        .withColumn(
+            "_tied",
+            F.sum(F.when(F.col("votes") == F.col("_max_votes"), 1).otherwise(0)).over(wk),
+        )
+        .withColumn("_n_cand", F.sum("votes").over(wk))
+    )
+    winners = stats.filter(F.col("votes") == F.col("_max_votes"))
+    worder = Window.partitionBy(*key_cols).orderBy(
+        F.col("max_score").desc(), F.col(class_col).asc()
+    )
+    ranked = winners.withColumn("_rn", F.row_number().over(worder)).withColumn(
+        "_second_score", F.lead("max_score").over(worder)
+    )
+    top = ranked.filter(F.col("_rn") == 1)
+
+    if tie_break == TIE_ABSTAIN:
+        cls = F.when(F.col("_tied") > 1, F.lit(None)).otherwise(F.col(class_col))
+        score = F.when(F.col("_tied") > 1, F.lit(0.0)).otherwise(F.col("avg_score"))
+    elif tie_break == TIE_BEST:
+        cls = F.col(class_col)
+        score = F.when(F.col("_tied") > 1, F.col("max_score")).otherwise(
+            F.col("avg_score")
+        )
+    elif tie_break == TIE_BEST_WITH_DIFF:
+        close = F.abs(F.col("max_score") - F.coalesce(F.col("_second_score"), F.lit(0.0))) < max_diff
+        keep = (F.col("_tied") <= 1) | close
+        cls = F.when(keep, F.col(class_col)).otherwise(F.lit(None))
+        score = F.when(F.col("_tied") > 1, F.when(close, F.col("max_score")).otherwise(F.lit(0.0))).otherwise(F.col("avg_score"))
+    else:
+        raise ValueError(f"unknown tie_break {tie_break!r}")
+
+    return top.select(
+        *key_cols,
+        cls.alias("classification"),
+        round_half_up(score, 4).alias("vote_score"),
+        F.col("_n_cand").cast("long").alias("n_candidates"),
+    )

@@ -133,11 +133,14 @@ FROM g
 )
 
 
+from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
 QUERIES = {
     "extract_turns": q_extract_turns,
     "extract_kind_counts": q_extract_kind_counts,
     "assemble_conversations": q_assemble_conversations,
     "turn_order": q_turn_order,
+    **EXT_QUERIES,
 }
 
 ORACLES = {
@@ -145,4 +148,5 @@ ORACLES = {
     "extract_kind_counts": ORACLE_EXTRACT_KIND_COUNTS,
     "assemble_conversations": ORACLE_ASSEMBLE,
     "turn_order": ORACLE_TURN_ORDER,
+    **EXT_ORACLES,
 }

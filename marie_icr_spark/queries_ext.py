@@ -1,0 +1,511 @@
+"""Extended query registry: voting, text stats, dedup, similarity, spans.
+
+Every query here is value-hash-checked against a DuckDB oracle. Floating
+point is kept cross-engine-exact by (a) quantizing to integer-valued
+numbers before aggregation (integer sums in doubles are associative up to
+2^53) and (b) only applying single-expression double math afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.columns import (
+    HASH_P,
+    portable_hash31_sql,
+    rolling_fingerprint_sql,
+    shingles_sql,
+    ws_tokens,
+)
+from .operators.assembly import segment_conversations
+from .operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from .operators.similarity import cosine_topk
+from .operators.spans import runlength_spans, topk_per_group
+from .operators.textstats import (
+    STOPWORDS,
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from .operators.voting import (
+    class_majority_vote,
+    max_score_pick,
+    word_majority_vote,
+)
+from .sources.tables import load_table
+from .sources.transcripts import transcripts_from_docs
+
+_TOKENS_SQL = "string_split(regexp_replace(trim({e}), '\\s+', ' ', 'g'), ' ')"
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _events_scored(spark, sf_dir):
+    """events with integer-cent confidence (cross-engine-exact sums)."""
+    return load_table(spark, sf_dir, "events").withColumn(
+        "conf", F.floor(F.col("value") * 100 + 0.5).cast("double")
+    )
+
+
+_EVENTS_SCORED_SQL = (
+    "SELECT *, CAST(floor(value * 100 + 0.5) AS DOUBLE) AS conf FROM events"
+)
+
+
+# ---------------------------------------------------------------------------
+# Voting (SURVEY §2.4 A3–A6)
+# ---------------------------------------------------------------------------
+
+def q_vote_word_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_scored(spark, sf_dir)
+    return word_majority_vote(ev, ["user_id"], "event_type", "conf", min_vote_count=2)
+
+
+ORACLE_VOTE_WORD_MAJORITY = f"""
+WITH ev AS ({_EVENTS_SCORED_SQL}),
+c AS (SELECT user_id, event_type, COUNT(*) votes, SUM(conf) conf_sum
+      FROM ev GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY votes DESC, conf_sum DESC, event_type ASC) rn FROM c),
+m AS (SELECT user_id, event_type b_single, conf b_conf, row_number() OVER
+        (PARTITION BY user_id ORDER BY conf DESC, event_type ASC) rm FROM ev)
+SELECT r.user_id,
+       CASE WHEN r.votes >= 2 THEN r.event_type ELSE m.b_single END AS voted,
+       r.votes AS votes,
+       (floor((CASE WHEN r.votes >= 2 THEN r.conf_sum / r.votes ELSE m.b_conf END) * 10000.0 + 0.5) / 10000.0) AS vote_confidence
+FROM r JOIN m ON r.user_id = m.user_id AND m.rm = 1
+WHERE r.rn = 1
+"""
+
+
+def q_vote_class_abstain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_scored(spark, sf_dir)
+    return class_majority_vote(
+        ev, ["user_id"], "event_type", "conf", tie_break="abstain"
+    )
+
+
+ORACLE_VOTE_CLASS_ABSTAIN = f"""
+WITH ev AS ({_EVENTS_SCORED_SQL}),
+c AS (SELECT user_id, event_type, COUNT(*) votes,
+             (floor((AVG(conf)) * 10000.0 + 0.5) / 10000.0) avg_score, MAX(conf) max_score
+      FROM ev GROUP BY 1, 2),
+s AS (SELECT *, MAX(votes) OVER (PARTITION BY user_id) mx,
+             SUM(votes) OVER (PARTITION BY user_id) n_cand
+      FROM c),
+t AS (SELECT user_id, COUNT(*) tied FROM s WHERE votes = mx GROUP BY 1),
+w AS (SELECT s.*, t.tied, row_number() OVER (PARTITION BY s.user_id
+        ORDER BY s.max_score DESC, s.event_type ASC) rn
+      FROM s JOIN t USING (user_id) WHERE s.votes = s.mx)
+SELECT user_id,
+       CASE WHEN tied > 1 THEN NULL ELSE event_type END AS classification,
+       (floor((CASE WHEN tied > 1 THEN 0.0 ELSE avg_score END) * 10000.0 + 0.5) / 10000.0) AS vote_score,
+       CAST(n_cand AS BIGINT) AS n_candidates
+FROM w WHERE rn = 1
+"""
+
+
+def q_vote_max_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_scored(spark, sf_dir)
+    return max_score_pick(ev, ["user_id"], "event_type", "conf")
+
+
+ORACLE_VOTE_MAX_SCORE = f"""
+WITH ev AS ({_EVENTS_SCORED_SQL})
+SELECT user_id, event_type AS picked, conf AS best_score
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY conf DESC, event_type ASC) rn FROM ev)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops over documents)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+ORACLE_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL.format(e='text')} w FROM documents)
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(len(w) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT)
+         AS n_word_tokens,
+       (floor((CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE) / len(w)) * 10000.0 + 0.5) / 10000.0) AS avg_token_len
+FROM t
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir))
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"(floor(CAST(len(list_filter(w, t -> list_contains([{words}], t)))"
+        f" AS DOUBLE) / len(w) * 1000000.0 + 0.5) / 1000000.0)"
+    )
+
+
+ORACLE_LANGUAGE_ID = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM documents),
+s AS (SELECT doc_id,
+        {_lang_score_sql('de')} s_de, {_lang_score_sql('en')} s_en,
+        {_lang_score_sql('es')} s_es, {_lang_score_sql('fr')} s_fr
+      FROM t),
+b AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) best FROM s)
+SELECT doc_id,
+       CASE WHEN best < 0.05 THEN 'und'
+            WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+            WHEN s_es = best THEN 'es' ELSE 'fr' END AS pred_lang,
+       best AS lang_score
+FROM b
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+_ALL_STOP_SQL = ", ".join(
+    f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws})
+)
+
+ORACLE_QUALITY_SCORE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKENS_SQL.format(e='text')} w FROM documents),
+x AS (SELECT doc_id, len(w) n_toks,
+        len(text) - len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) punct,
+        len(text) n_chars,
+        len(list_filter(w, t -> list_contains([{_ALL_STOP_SQL}], t))) n_stop
+      FROM t),
+r AS (SELECT doc_id, n_toks,
+        (floor((CAST(punct AS DOUBLE) / greatest(n_chars, 1)) * 1000000.0 + 0.5) / 1000000.0) punct_ratio,
+        (floor((CAST(n_stop AS DOUBLE) / greatest(n_toks, 1)) * 1000000.0 + 0.5) / 1000000.0) stop_ratio
+      FROM x)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_tokens, punct_ratio, stop_ratio,
+       (floor((0.4 * least(1.0, n_toks / 64.0) + 0.3 * (1.0 - least(1.0, punct_ratio * 4)) + 0.3 * least(1.0, stop_ratio * 4)) * 10000.0 + 0.5) / 10000.0) AS quality
+FROM r
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return document_fingerprint(_docs(spark, sf_dir))
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM documents)
+SELECT doc_id, {rolling_fingerprint_sql('w')} AS fingerprint FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup (corpus = documents ∪ truncated near-dups ∪ exact dups)
+# ---------------------------------------------------------------------------
+
+def _corpus(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    w = ws_tokens(F.col("text"))
+    trunc = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(w, 1, F.greatest(F.size(w) - 3, F.lit(1))), " "
+        ).alias("text"),
+    )
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(trunc).unionByName(dups)
+
+
+_CORPUS_SQL = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(w[1 : greatest(len(w) - 3, 1)], ' ')
+  FROM (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM documents)
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_corpus(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH {_CORPUS_SQL}
+SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM corpus GROUP BY 1
+"""
+
+_JACCARD_T = 0.5
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_corpus(spark, sf_dir), _JACCARD_T)
+
+
+_SH_SQL = shingles_sql("w", 3)
+
+ORACLE_JACCARD_PAIRS = f"""
+WITH {_CORPUS_SQL},
+tw AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM corpus),
+ss AS (SELECT doc_id did, {_SH_SQL} sh FROM tw),
+sz AS (SELECT did, len(sh) sz FROM ss),
+inv AS (SELECT did, unnest(sh) s FROM ss),
+i AS (SELECT x.did a, y.did b, COUNT(*) i FROM inv x JOIN inv y USING (s)
+      WHERE x.did < y.did GROUP BY 1, 2)
+SELECT a AS id_a, b AS id_b,
+       (floor((CAST(i AS DOUBLE) / (za.sz + zb.sz - i)) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
+FROM i JOIN sz za ON i.a = za.did JOIN sz zb ON i.b = zb.did
+WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= {_JACCARD_T}
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_corpus(spark, sf_dir), _JACCARD_T)
+
+
+def _minhash_oracle_sql() -> str:
+    h31 = portable_hash31_sql("s")
+    sig_cols = ",\n        ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {HASH_P})) m{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT did, {b} band, md5({expr}) bucket FROM sig".format(
+            b=b,
+            expr=" || ':' || ".join(
+                f"CAST(m{i} AS VARCHAR)"
+                for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_CORPUS_SQL},
+tw AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM corpus),
+ss AS (SELECT doc_id did, {_SH_SQL} sh FROM tw),
+nz AS (SELECT did, sh FROM ss WHERE len(sh) > 0),
+hs AS (SELECT did, sh, list_transform(sh, s -> {h31}) hv FROM nz),
+sig AS (SELECT did, sh,
+        {sig_cols}
+        FROM hs),
+bands AS (
+{band_selects}
+),
+cand AS (SELECT DISTINCT x.did a, y.did b FROM bands x
+         JOIN bands y USING (band, bucket) WHERE x.did < y.did),
+v AS (SELECT a id_a, b id_b,
+        (floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh))) * 1000000.0 + 0.5) / 1000000.0) jaccard
+      FROM cand JOIN nz sa ON cand.a = sa.did JOIN nz sb ON cand.b = sb.did)
+SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= {_JACCARD_T}
+"""
+
+
+ORACLE_MINHASH_LSH_PAIRS = _minhash_oracle_sql()
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir))
+
+
+def _simhash_oracle_sql() -> str:
+    h31 = portable_hash31_sql("t")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hv, h -> (h // {1 << b}) % 2 = 1))"
+        f" > len(hv) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM documents),
+hs AS (SELECT doc_id, list_transform(w, t -> {h31}) hv FROM t)
+SELECT doc_id, {terms} AS simhash FROM hs
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_T = 0.35
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, _NEAR_DUP_T)
+
+
+_Q_SQL = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
+
+ORACLE_EMB_NEAR_DUP = f"""
+WITH q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings),
+n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm FROM q)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       (floor((list_sum(list_transform(range(64), i -> x.q[i+1] * y.q[i+1])) / (sqrt(x.nrm) * sqrt(y.nrm))) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+FROM n x JOIN n y ON x.vec_id < y.vec_id
+WHERE (floor((list_sum(list_transform(range(64), i -> x.q[i+1] * y.q[i+1])) / (sqrt(x.nrm) * sqrt(y.nrm))) * 1000000.0 + 0.5) / 1000000.0) >= {_NEAR_DUP_T}
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qmin = emb.orderBy("vec_id").limit(1)
+    return cosine_topk(emb, qmin, k=10)
+
+
+ORACLE_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings),
+n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm FROM q),
+qq AS (SELECT * FROM n ORDER BY vec_id LIMIT 1)
+SELECT n.vec_id,
+       (floor((list_sum(list_transform(range(64), i -> n.q[i+1] * qq.q[i+1])) / (sqrt(n.nrm) * sqrt(qq.nrm))) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+FROM n, qq WHERE n.vec_id != qq.vec_id
+ORDER BY cosine DESC, n.vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Segmentation / spans / misc window ops
+# ---------------------------------------------------------------------------
+
+def q_conv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_docs(spark, sf_dir)
+    return segment_conversations(t).select("conv_id", "turn_idx", "segment_id")
+
+
+ORACLE_CONV_SEGMENTS = """
+WITH d AS (
+  SELECT 'conv-' || lpad(CAST(doc_id % 89 AS VARCHAR), 6, '0') conv_id,
+         CAST(doc_id // 89 AS INTEGER) turn_idx,
+         CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'tool' ELSE 'system' END AS "role"
+  FROM documents
+)
+SELECT conv_id, turn_idx,
+       CAST(SUM(CASE WHEN "role" = 'system' THEN 1 ELSE 0 END) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS UNBOUNDED PRECEDING) AS INTEGER) AS segment_id
+FROM d
+"""
+
+
+def q_event_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return runlength_spans(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", None
+    )
+
+
+ORACLE_EVENT_SPANS = """
+WITH f AS (
+  SELECT user_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w != event_type
+              THEN 1 ELSE 0 END chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id, event_type,
+        CAST(SUM(chg) OVER (PARTITION BY user_id
+          ROWS UNBOUNDED PRECEDING) AS INTEGER) span_id
+      FROM f)
+SELECT user_id, span_id, event_type AS label,
+       CAST(COUNT(*) AS BIGINT) AS span_len
+FROM s GROUP BY 1, 2, 3
+"""
+
+
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_scored(spark, sf_dir)
+    return topk_per_group(ev, ["user_id"], "conf", "event_id", 3).select(
+        "user_id", "event_id", "conf", "rank"
+    )
+
+
+ORACLE_TOPK_EVENTS = f"""
+WITH ev AS ({_EVENTS_SCORED_SQL})
+SELECT user_id, event_id, conf, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY conf DESC, event_id ASC) rank FROM ev)
+WHERE rank <= 3
+"""
+
+
+def q_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage/job-state style counts (A9, marie/scheduler/psql.py:734-760)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+ORACLE_STATE_COUNTS = (
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) n FROM events GROUP BY 1"
+)
+
+
+EXT_QUERIES = {
+    "vote_word_majority": q_vote_word_majority,
+    "vote_class_abstain": q_vote_class_abstain,
+    "vote_max_score": q_vote_max_score,
+    "token_stats": q_token_stats,
+    "language_id": q_language_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "emb_near_dup": q_emb_near_dup,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "conv_segments": q_conv_segments,
+    "event_spans": q_event_spans,
+    "topk_events": q_topk_events,
+    "state_counts": q_state_counts,
+}
+
+EXT_ORACLES = {
+    "vote_word_majority": ORACLE_VOTE_WORD_MAJORITY,
+    "vote_class_abstain": ORACLE_VOTE_CLASS_ABSTAIN,
+    "vote_max_score": ORACLE_VOTE_MAX_SCORE,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "language_id": ORACLE_LANGUAGE_ID,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "jaccard_pairs": ORACLE_JACCARD_PAIRS,
+    "minhash_lsh_pairs": ORACLE_MINHASH_LSH_PAIRS,
+    "simhash": ORACLE_SIMHASH,
+    "emb_near_dup": ORACLE_EMB_NEAR_DUP,
+    "ann_cosine_topk": ORACLE_ANN_COSINE_TOPK,
+    "conv_segments": ORACLE_CONV_SEGMENTS,
+    "event_spans": ORACLE_EVENT_SPANS,
+    "topk_events": ORACLE_TOPK_EVENTS,
+    "state_counts": ORACLE_STATE_COUNTS,
+}
