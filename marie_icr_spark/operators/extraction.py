@@ -55,6 +55,7 @@ _BASE_FIELDS = [
     T.StructField("turn_idx", T.IntegerType()),
     T.StructField("role", T.StringType()),
     T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
     T.StructField("payload_kind", T.StringType()),
     T.StructField("extracted_text", T.StringType()),
     T.StructField("span_count", T.IntegerType()),
@@ -88,6 +89,7 @@ def _extract_batches(
                 "turn_idx": pdf["turn_idx"].to_numpy(),
                 "role": pdf["role"].to_numpy(),
                 "tool": pdf["tool"].to_numpy(),
+                "ts": pdf["ts"],
                 "payload_kind": kinds,
                 "extracted_text": outs,
                 "span_count": pd.Series(spans, dtype="int32"),
@@ -107,7 +109,7 @@ def extract_turns(df: DataFrame, with_structs: bool = False) -> DataFrame:
     when ``with_structs``, the layout word/line structs (FIXTURES.md §3).
     """
     schema = EXTRACTED_FULL_SCHEMA if with_structs else EXTRACTED_SCHEMA
-    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     return df.select(*cols).mapInPandas(
         lambda it: _extract_batches(it, with_structs), schema=schema
     )

@@ -19,12 +19,19 @@ from pyspark.sql import functions as F
 from ..functions.columns import round_half_up
 
 QUANT = 1000
-LSH_PLANES = 12  # hyperplane count → 2^12 buckets
+# Multi-table random-hyperplane LSH: L tables × P planes. One table of many
+# planes has vanishing recall on weakly-structured data; the union of
+# several short-signature tables (plus Hamming-1 multiprobe at query time)
+# is the standard trade (recall ≈ 1-(1-p^P(1+P(1-p)/p))^L for sign-agreement
+# probability p = 1 - θ/π).
+LSH_TABLES = 4
+LSH_PLANES = 8  # per table → 2^8 buckets each
 EMB_DIM = 64
 _rng = random.Random(20250817)
 # quantized hyperplane components in [-50, 50]
 HYPERPLANES = [
-    [_rng.randint(-50, 50) for _ in range(EMB_DIM)] for _ in range(LSH_PLANES)
+    [[_rng.randint(-50, 50) for _ in range(EMB_DIM)] for _ in range(LSH_PLANES)]
+    for _ in range(LSH_TABLES)
 ]
 
 
@@ -74,10 +81,7 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
 
 
-def lsh_bucket(emb: DataFrame) -> DataFrame:
-    """Random-hyperplane signature bucket per vector (the ANN index key).
-    Output: input + (bucket long)."""
-    qn = quantize(emb)
+def _table_bucket(table: int):
     bits = [
         F.when(
             F.aggregate(
@@ -92,36 +96,49 @@ def lsh_bucket(emb: DataFrame) -> DataFrame:
             >= 0,
             F.lit(1 << i).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-        for i, plane in enumerate(HYPERPLANES)
+        for i, plane in enumerate(HYPERPLANES[table])
     ]
     total = bits[0]
     for b in bits[1:]:
         total = total + b
-    return qn.withColumn("bucket", total)
+    return total
+
+
+def lsh_bucket(emb: DataFrame) -> DataFrame:
+    """Random-hyperplane signature buckets per vector, one per LSH table
+    (the ANN index keys). Output: input + (buckets array<long> len L)."""
+    qn = quantize(emb)
+    return qn.withColumn(
+        "buckets", F.array(*[_table_bucket(t) for t in range(LSH_TABLES)])
+    )
 
 
 def lsh_topk(emb: DataFrame, query: DataFrame, k: int = 10) -> DataFrame:
-    """ANN top-k: probe only vectors sharing the query's LSH bucket (plus
-    Hamming-1 neighbor buckets for recall), exact re-rank inside.
-    Output: (vec_id, cosine)."""
+    """ANN top-k: probe, in each LSH table, the query's bucket plus its
+    Hamming-1 neighbors (multiprobe); union candidates across tables;
+    exact re-rank inside. Output: (vec_id, cosine)."""
     indexed = lsh_bucket(emb)
     qrow = lsh_bucket(query).select(
         F.col("q").alias("qq"), F.col("nrm").alias("qnrm"),
-        F.col("bucket").alias("qbucket"), F.col("vec_id").alias("qid"),
+        F.col("buckets").alias("qbuckets"), F.col("vec_id").alias("qid"),
     )
-    probe_buckets = F.array(
-        F.col("qbucket"),
-        *[
-            F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("long")
-            for i in range(LSH_PLANES)
-        ],
-    )
+
+    def probes(t: int):
+        qb = F.col("qbuckets")[t]
+        return F.array(
+            qb,
+            *[
+                qb.bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(LSH_PLANES)
+            ],
+        )
+
+    hit = F.array_contains(probes(0), F.col("buckets")[0])
+    for t in range(1, LSH_TABLES):
+        hit = hit | F.array_contains(probes(t), F.col("buckets")[t])
     cands = (
         indexed.crossJoin(F.broadcast(qrow))
-        .filter(
-            F.array_contains(probe_buckets, F.col("bucket"))
-            & (F.col("vec_id") != F.col("qid"))
-        )
+        .filter(hit & (F.col("vec_id") != F.col("qid")))
         .select(
             "vec_id",
             round_half_up(

@@ -1,0 +1,160 @@
+"""Structured Streaming ingestion of transcript turns.
+
+The reference's "streaming" is request streaming + job polling
+(``marie/serve/runtimes/gateway/request_handling.py:253-298``,
+``marie/scheduler/psql.py:242-289``) — here re-expressed as a real
+incremental pipeline:
+
+* ``stream_extract``: file-source ``readStream`` over the transcript table →
+  the same shuffle-free ``mapInPandas`` extraction as batch (the operator is
+  engine-agnostic) → per-microbatch commit through the lineage writer via
+  ``foreachBatch`` (checkpointed, idempotent buckets — the streaming twin of
+  plans/lineage.py);
+* ``stream_kind_counts``: watermarked sliding-window aggregation of turns
+  per payload kind (late-data semantics the reference lacks entirely).
+
+Tests drive both with ``trigger(availableNow=True)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extraction import EXTRACTED_SCHEMA, extract_turns
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .format("parquet")
+        .option("path", input_dir)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load()
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    n_buckets: int = 8,
+):
+    """readStream → extraction → bucketed idempotent sink (foreachBatch).
+
+    Each micro-batch writes result partitions and appends lineage rows with
+    the batch id as run id — replayed batches (restart after crash) overwrite
+    the same bucket partitions, so the sink is effectively exactly-once.
+    """
+    stream = read_transcript_stream(spark, input_dir)
+    extracted = extract_turns(stream)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans import lineage as L
+
+        sess = batch_df.sparkSession
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        bucketed = batch_df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int"),
+        )
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(output_dir, f"batch={batch_id}")
+        )
+        stats = (
+            bucketed.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("turn_count"),
+                F.sum("span_count").alias("span_count"),
+                F.format_string(
+                    "%x",
+                    F.bit_xor(
+                        F.xxhash64(
+                            F.col("conv_id"), F.col("turn_idx"),
+                            F.col("extracted_text"),
+                        )
+                    ),
+                ).alias("partition_hash"),
+            )
+            .collect()
+        )
+        rows = [
+            (
+                f"stream-batch-{batch_id}",
+                str(batch_id),
+                int(r["bucket"]),
+                r["partition_hash"],
+                int(r["turn_count"]),
+                int(r["span_count"] or 0),
+                L.STATUS_COMPLETED,
+                None,
+            )
+            for r in stats
+        ]
+        if rows:
+            (
+                sess.createDataFrame(rows, L.LINEAGE_SCHEMA)
+                .withColumn("committed_at", F.current_timestamp())
+                .write.mode("append")
+                .parquet(os.path.join(output_dir, "_lineage"))
+            )
+
+    writer = (
+        extracted.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_kind_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+    available_now: bool = False,
+):
+    """Watermarked (sliding) window counts of turns per payload kind.
+
+    Returns (query, memory_sink_name); read results from the in-memory sink
+    table. Late rows beyond the watermark are dropped — the bounded-state
+    contract a 10^12-turn stream needs.
+    """
+    stream = read_transcript_stream(spark, input_dir)
+    extracted = extract_turns(stream)  # carries ts through
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    agg = (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(win, "payload_kind")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum("span_count").alias("total_spans"),
+        )
+    )
+    name = "kind_counts_sink"
+    # complete mode for the in-memory sink: append would hold back windows
+    # newer than the final watermark (correct for an unbounded stream, but a
+    # bounded availableNow run needs every window flushed)
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), name

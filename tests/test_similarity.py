@@ -1,0 +1,67 @@
+"""ANN: LSH-bucketed top-k recall vs brute force; bucket determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from marie_icr_spark.operators.similarity import (
+    LSH_PLANES,
+    cosine_topk,
+    lsh_bucket,
+    lsh_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_lsh_bucket_range_and_determinism(spark, emb):
+    b1 = lsh_bucket(emb).select("vec_id", "buckets").toPandas()
+    b2 = lsh_bucket(emb).select("vec_id", "buckets").toPandas()
+    assert b1.sort_values("vec_id")["buckets"].map(list).tolist() == \
+        b2.sort_values("vec_id")["buckets"].map(list).tolist()
+    for bs in b1["buckets"]:
+        assert all(0 <= b < (1 << LSH_PLANES) for b in bs)
+
+
+def _planted(spark, n_base=25, copies=4, dim=64, noise=0.05):
+    """Clusters of near-duplicate vectors (cos ≈ 0.97 within a cluster) —
+    the workload ANN indexes exist for."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    vid = 0
+    for _ in range(n_base):
+        base = rng.randn(dim)
+        base /= np.linalg.norm(base)
+        for _c in range(copies):
+            v = base + noise * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v], 0))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_lsh_topk_recall_on_planted_neighbors(spark):
+    emb = _planted(spark)
+    recalls = []
+    for qid in [0, 4, 8, 40, 80]:
+        qdf = emb.filter(F.col("vec_id") == qid)
+        k = 3  # the other copies of the same base vector
+        exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(emb, qdf, k=k).collect()}
+        approx = {r["vec_id"]: r["cosine"] for r in lsh_topk(emb, qdf, k=k).collect()}
+        hits = set(exact) & set(approx)
+        recalls.append(len(hits) / len(exact))
+        for h in hits:  # same quantized arithmetic → identical cosines
+            assert exact[h] == approx[h]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.8, f"LSH recall on planted near-dups too low: {recalls}"
+
+
+def test_lsh_probe_is_filter_not_crossjoin(spark, emb):
+    qdf = emb.orderBy("vec_id").limit(1)
+    plan = lsh_topk(emb, qdf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

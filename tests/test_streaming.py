@@ -1,0 +1,72 @@
+"""Structured Streaming: incremental extraction + watermarked windows."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from marie_icr_spark.sources.transcripts import TRANSCRIPT_SCHEMA, synth_transcripts
+from marie_icr_spark.streaming.pipeline import stream_extract, stream_kind_counts
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    tdf, gdf = synth_transcripts(n_convs=25, seed=11, hot_factor=5)
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    # two files → at least one micro-batch each under maxFilesPerTrigger
+    spark.createDataFrame(tdf, schema=TRANSCRIPT_SCHEMA).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path, tdf, gdf
+
+
+def test_stream_extract_commits_all_turns(spark, stream_input, tmp_path_factory):
+    path, tdf, gdf = stream_input
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    q = stream_extract(spark, path, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    res = spark.read.parquet(out + "/batch=*").toPandas()
+    assert len(res) == len(gdf)
+    merged = res.merge(gdf, on=["conv_id", "turn_idx"], suffixes=("_o", "_g"))
+    assert len(merged) == len(gdf)
+    assert (merged["extracted_text_o"] == merged["extracted_text_g"]).all()
+
+    lineage = spark.read.parquet(out + "/_lineage").toPandas()
+    assert lineage["turn_count"].sum() == len(gdf)
+    assert (lineage["status"] == "completed").all()
+
+
+def test_stream_windowed_kind_counts(spark, stream_input, tmp_path_factory):
+    path, tdf, gdf = stream_input
+    ckpt = str(tmp_path_factory.mktemp("wm_ckpt"))
+    q, sink = stream_kind_counts(
+        spark, path, ckpt, window="1 minute", watermark="2 minutes",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {sink}").toPandas()
+
+    # golden: batch computation of the same windowed aggregate
+    g = gdf.merge(tdf[["conv_id", "turn_idx", "ts"]], on=["conv_id", "turn_idx"])
+    g["window_start"] = g["ts"].dt.floor("1min")
+    expected = (
+        g.groupby(["window_start", "payload_kind"])
+        .agg(turn_count=("conv_id", "size"), total_spans=("span_count", "sum"))
+        .reset_index()
+    )
+    got["window_start"] = (
+        pd.to_datetime(got["window"].map(lambda w: w["start"]))
+        .dt.tz_localize("UTC")
+    )
+    merged = expected.merge(
+        got[["window_start", "payload_kind", "turn_count", "total_spans"]],
+        on=["window_start", "payload_kind"],
+        suffixes=("_e", "_s"),
+        how="outer",
+        indicator=True,
+    )
+    # complete mode flushes every window
+    assert (merged["_merge"] == "both").all(), merged[merged["_merge"] != "both"]
+    assert (merged["turn_count_e"] == merged["turn_count_s"]).all()
+    assert (merged["total_spans_e"] == merged["total_spans_s"]).all()
