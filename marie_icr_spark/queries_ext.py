@@ -19,6 +19,7 @@ from .functions.columns import (
     ws_tokens,
 )
 from .operators.assembly import segment_conversations
+from .operators.extraction import extract_turns
 from .operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
@@ -45,7 +46,7 @@ from .operators.voting import (
     word_majority_vote,
 )
 from .sources.tables import load_table
-from .sources.transcripts import transcripts_from_docs
+from .sources.transcripts import CONV_MOD, transcripts_from_docs
 
 _TOKENS_SQL = "string_split(regexp_replace(trim({e}), '\\s+', ' ', 'g'), ' ')"
 
@@ -509,3 +510,179 @@ EXT_ORACLES = {
     "topk_events": ORACLE_TOPK_EVENTS,
     "state_counts": ORACLE_STATE_COUNTS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Layout struct parity + renderer sinks (SURVEY §2.2 F7, §2.1 S10, FIXTURES §3)
+# ---------------------------------------------------------------------------
+
+# DuckDB reconstruction of the layout payload's word grid straight from
+# documents.text: canonical 8-word lines, word (x, y, w, h) = (9·char_offset,
+# 20·line, 9·len, 16), ids/word_index replaying the engine's x-stable sort
+# over the md5-scrambled input order.
+_LAYOUT_WORDS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         'conv-' || lpad(CAST(doc_id % {CONV_MOD} AS VARCHAR), 6, '0') conv_id,
+         CAST(doc_id // {CONV_MOD} AS INTEGER) turn_idx,
+         {_TOKENS_SQL.format(e='text')} w
+  FROM documents WHERE doc_id % 100 >= 40 AND doc_id % 100 < 65
+),
+lines AS (
+  SELECT doc_id, conv_id, turn_idx,
+         unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) ln, w
+  FROM d
+),
+lw AS (
+  SELECT doc_id, conv_id, turn_idx, ln,
+         list_transform(range(len(lws)), j -> {{'t': lws[j+1], 'j': j}}) pairs
+  FROM (SELECT *, w[ln*8+1 : ln*8+8] lws FROM lines)
+),
+words AS (
+  SELECT doc_id, conv_id, turn_idx, ln, unnest(pairs) p FROM lw
+),
+pos AS (
+  SELECT doc_id, conv_id, turn_idx, ln, p.t word_text, p.j j,
+         9 * (COALESCE(SUM(len(p.t) + 1) OVER (PARTITION BY doc_id, ln
+              ORDER BY p.j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0)) x
+  FROM words
+),
+gi AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ln, j) - 1 g
+  FROM pos
+),
+keyed AS (
+  SELECT *, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)) k
+  FROM gi
+)
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY x, k) - 1
+            AS INTEGER) word_id,
+       word_text,
+       CAST(ln + 1 AS INTEGER) line_no,
+       CAST(g AS INTEGER) word_index,
+       CAST(x AS INTEGER) x0, CAST(ln * 20 AS INTEGER) y0,
+       CAST(x + 9 * len(word_text) AS INTEGER) x1,
+       CAST(ln * 20 + 16 AS INTEGER) y1
+FROM keyed
+"""
+
+
+def q_layout_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full word-struct parity for layout turns, emitted in XYXY
+    (coordinate conversion F7, marie/ocr/coordinate_format.py:23-55)."""
+    t = transcripts_from_docs(spark, sf_dir)
+    e = extract_turns(t, with_structs=True).filter(
+        F.col("payload_kind") == "layout"
+    )
+    w = e.select("conv_id", "turn_idx", F.explode("words").alias("w"))
+    return w.select(
+        "conv_id",
+        "turn_idx",
+        F.col("w.id").cast("int").alias("word_id"),
+        F.col("w.text").alias("word_text"),
+        F.col("w.line").cast("int").alias("line_no"),
+        F.col("w.word_index").cast("int").alias("word_index"),
+        F.col("w.box")[0].alias("x0"),
+        F.col("w.box")[1].alias("y0"),
+        (F.col("w.box")[0] + F.col("w.box")[2]).alias("x1"),
+        (F.col("w.box")[1] + F.col("w.box")[3]).alias("y1"),
+    )
+
+
+def q_layout_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-struct parity: renumbered line ids, assembled text, envelope
+    bbox (ocr_processor.py:241-247)."""
+    t = transcripts_from_docs(spark, sf_dir)
+    e = extract_turns(t, with_structs=True).filter(
+        F.col("payload_kind") == "layout"
+    )
+    ln = e.select("conv_id", "turn_idx", F.explode("lines").alias("l"))
+    return ln.select(
+        "conv_id",
+        "turn_idx",
+        F.col("l.line").cast("int").alias("line_no"),
+        F.col("l.text").alias("line_text"),
+        F.col("l.bbox")[0].alias("bb_x"),
+        F.col("l.bbox")[1].alias("bb_y"),
+        F.col("l.bbox")[2].alias("bb_w"),
+        F.col("l.bbox")[3].alias("bb_h"),
+        F.col("l.confidence").alias("line_conf"),
+    )
+
+
+ORACLE_LAYOUT_LINES = f"""
+WITH d AS (
+  SELECT doc_id,
+         'conv-' || lpad(CAST(doc_id % {CONV_MOD} AS VARCHAR), 6, '0') conv_id,
+         CAST(doc_id // {CONV_MOD} AS INTEGER) turn_idx,
+         {_TOKENS_SQL.format(e='text')} w
+  FROM documents WHERE doc_id % 100 >= 40 AND doc_id % 100 < 65
+),
+lines AS (
+  SELECT conv_id, turn_idx,
+         unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) ln, w
+  FROM d
+)
+SELECT conv_id, turn_idx,
+       CAST(ln + 1 AS INTEGER) line_no,
+       array_to_string(w[ln*8+1 : ln*8+8], ' ') line_text,
+       0 bb_x, CAST(ln * 20 AS INTEGER) bb_y,
+       CAST(9 * len(array_to_string(w[ln*8+1 : ln*8+8], ' ')) AS INTEGER) bb_w,
+       16 bb_h,
+       1.0 line_conf
+FROM lines
+"""
+
+
+def q_blob_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-XML renderer sink (S10, marie/renderer/blob_renderer.py:23-90):
+    per layout turn, one XML string of word blobs in word_index order."""
+    t = transcripts_from_docs(spark, sf_dir)
+    e = extract_turns(t, with_structs=True).filter(
+        F.col("payload_kind") == "layout"
+    )
+
+    def esc(c):
+        x = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        x = F.replace(x, F.lit("<"), F.lit("&lt;"))
+        return F.replace(x, F.lit(">"), F.lit("&gt;"))
+
+    blob = lambda w: F.concat(
+        F.lit('<blob x="'), w["box"][0].cast("string"),
+        F.lit('" y="'), w["box"][1].cast("string"),
+        F.lit('" w="'), w["box"][2].cast("string"),
+        F.lit('" h="'), w["box"][3].cast("string"),
+        F.lit('">'), esc(w["text"]), F.lit("</blob>"),
+    )
+    return e.select(
+        "conv_id",
+        "turn_idx",
+        F.concat(
+            F.lit("<blobs>"),
+            F.array_join(F.transform(F.col("words"), blob), ""),
+            F.lit("</blobs>"),
+        ).alias("blobs_xml"),
+    )
+
+
+ORACLE_BLOB_XML = f"""
+WITH base AS ({_LAYOUT_WORDS_SQL})
+SELECT conv_id, turn_idx,
+       '<blobs>' || string_agg(
+         '<blob x="' || CAST(x0 AS VARCHAR) || '" y="' || CAST(y0 AS VARCHAR)
+         || '" w="' || CAST(x1 - x0 AS VARCHAR) || '" h="'
+         || CAST(y1 - y0 AS VARCHAR) || '">'
+         || replace(replace(replace(word_text, '&', '&amp;'), '<', '&lt;'),
+                    '>', '&gt;')
+         || '</blob>', '' ORDER BY word_index) || '</blobs>' blobs_xml
+FROM base GROUP BY conv_id, turn_idx
+"""
+
+EXT_QUERIES["layout_words"] = q_layout_words
+EXT_QUERIES["layout_lines"] = q_layout_lines
+EXT_QUERIES["blob_xml"] = q_blob_xml
+EXT_ORACLES["layout_words"] = _LAYOUT_WORDS_SQL
+EXT_ORACLES["layout_lines"] = ORACLE_LAYOUT_LINES
+EXT_ORACLES["blob_xml"] = ORACLE_BLOB_XML
