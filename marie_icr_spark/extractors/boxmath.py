@@ -192,6 +192,63 @@ def cluster_lines(boxes) -> np.ndarray:
     return b[np.argsort(b[:, 1], kind="stable")]
 
 
+def _merge_pass_horizontal(b: np.ndarray, band: float) -> np.ndarray:
+    """One horizontal-merge sweep (twin of the loop body of ``merge_boxes``,
+    overlap.py:288-317): visit boxes in order; each unvisited box absorbs
+    every horizontally-overlapping box whose vertical center lies within
+    ``band``·h of its own center (``find_overlap_horizontal`` with
+    ``center_y_overlap``, overlap.py:106-183); group envelope = extent."""
+    n = len(b)
+    x0, x1 = b[:, 0], b[:, 0] + b[:, 2]
+    y, h = b[:, 1], b[:, 3]
+    cy = y + h // 2
+    lo = cy - (h * band)
+    hi = cy + (h * band)
+
+    x_over = (x0[:, None] < x1[None, :]) & (x0[None, :] < x1[:, None])
+    in_band = (cy[None, :] >= lo[:, None]) & (cy[None, :] <= hi[:, None])
+    same = (b[:, None, :] == b[None, :, :]).all(axis=-1)
+    mask = x_over & in_band & ~same
+
+    visited = np.zeros(n, dtype=bool)
+    groups = []
+    for i in range(n):
+        if visited[i]:
+            continue
+        visited[i] = True
+        members = [i]
+        for j in np.nonzero(mask[i])[0]:
+            # reference marks overlaps visited unconditionally (:302-305)
+            if not visited[j]:
+                members.append(j)
+            visited[j] = True
+        groups.append(envelope(b[members].tolist()))
+    return np.asarray(groups, dtype=np.int64).reshape(-1, 4)
+
+
+def merge_boxes_horizontal(
+    boxes_xyxy, band: float = 0.5, max_rounds: int = 3
+) -> np.ndarray:
+    """Merge horizontally-adjacent boxes sharing a vertical center band.
+
+    Twin of ``merge_boxes`` (overlap.py:268-330): input/output XYXY, up to
+    ``max_rounds`` sweeps, stop when a sweep produces no reduction.
+    """
+    b = np.asarray(boxes_xyxy, dtype=np.int64).reshape(-1, 4)
+    if len(b) == 0:
+        return b
+    cur = xyxy_to_xywh(b)
+    last = len(cur)
+    for _ in range(max_rounds):
+        merged = _merge_pass_horizontal(cur, band)
+        if len(merged) == len(cur) or len(merged) == last:
+            cur = merged
+            break
+        last = len(cur)
+        cur = merged
+    return xywh_to_xyxy(cur)
+
+
 def assign_lines(word_boxes: np.ndarray, line_boxes: np.ndarray) -> np.ndarray:
     """1-based line number for each word box.
 

@@ -60,15 +60,16 @@ def sniff_payload_kind(text: str) -> str:
     return _sniff(text)[0]
 
 
-def extract_turn(text: str | None) -> TurnExtraction:
+def extract_turn(text: str | None, mode: str = "sparse") -> TurnExtraction:
     """Extract the main content of one turn payload. Never raises on
-    malformed input (fail-open contract, marie/pipe/extract_pipeline.py:143-154)."""
+    malformed input (fail-open contract, marie/pipe/extract_pipeline.py:143-154).
+    ``mode`` is the PSM contract for layout payloads (PSM_MODES)."""
     kind, layout_words = _sniff(text or "")
     if kind == "empty":
         return TurnExtraction("", 0, "empty")
     assert text is not None
     if kind == "layout":
-        res = extract_layout(layout_words or [])
+        res = extract_layout(layout_words or [], mode=mode)
         return TurnExtraction(
             res["text"], span_count(res["text"]), "layout",
             words=res["words"], lines=res["lines"],

@@ -71,12 +71,29 @@ def parse_layout_payload(text: str) -> list[dict[str, Any]] | None:
     return words
 
 
-def extract_layout(words_in: list[dict[str, Any]]) -> dict[str, Any]:
+# Page-segmentation modes (PSM contract, marie/boxes/box_processor.py:129-162),
+# transposed to text-layout payloads:
+#   sparse    full pipeline: cluster lines, assign, reading order (default)
+#   word      whole payload is one word → one line, texts joined in (y, x)
+#   line      whole payload is one text line → words x-sorted onto line 1
+#   raw_line  no box analysis at all: input order, single line
+#   multiline no clustering: each distinct y value is its own line
+PSM_MODES = ("sparse", "word", "line", "raw_line", "multiline")
+
+
+def _normalize_mode(mode: str | None) -> str:
+    # unknown/None → sparse (PSMode.from_value, box_processor.py:150-162)
+    m = (mode or "sparse").lower()
+    return m if m in PSM_MODES else "sparse"
+
+
+def extract_layout(words_in: list[dict[str, Any]], mode: str = "sparse") -> dict[str, Any]:
     """Assemble scrambled word boxes into reading-order lines and text.
 
     Returns ``{"text", "words", "lines"}`` with the word/line schemas of
     FIXTURES.md §3 (mirroring ocr_processor.py:180-190/:241-247).
     """
+    mode = _normalize_mode(mode)
     # Degenerate-box filter (ocr_engine.py:277-287): zero/negative extents.
     usable = [w for w in words_in if w["box"][2] > 0 and w["box"][3] > 0]
     if not usable:
@@ -85,8 +102,42 @@ def extract_layout(words_in: list[dict[str, Any]]) -> dict[str, Any]:
     boxes = np.asarray([w["box"] for w in usable], dtype=np.int64)
     texts = [w["text"] for w in usable]
 
-    line_boxes = cluster_lines(boxes)
-    line_no = assign_lines(boxes, line_boxes)
+    if mode == "raw_line":
+        # no box analysis: input order, one line (box_processor.py:145-146)
+        text = join_words(texts)
+        return {
+            "text": text,
+            "words": [
+                {
+                    "id": i, "text": t,
+                    "confidence": round(WORD_CONFIDENCE, 3),
+                    "box": [int(v) for v in boxes[i]],
+                    "line": 1, "word_index": i,
+                }
+                for i, t in enumerate(texts)
+            ],
+            "lines": [
+                {
+                    "line": 1, "wordids": list(range(len(texts))),
+                    "text": text, "bbox": envelope(boxes.tolist()),
+                    "confidence": round(WORD_CONFIDENCE, 4),
+                }
+            ],
+        }
+
+    if mode in ("word", "line"):
+        # single line: every word assigned line 1 ('word' additionally means
+        # the caller treats the result as one token; assembly is identical)
+        line_no = np.ones(len(usable), dtype=np.int64)
+    elif mode == "multiline":
+        # no clustering: each distinct y is a line, in ascending y order
+        ys = boxes[:, 1]
+        uniq = np.sort(np.unique(ys))
+        rank = {int(y): i + 1 for i, y in enumerate(uniq)}
+        line_no = np.asarray([rank[int(y)] for y in ys], dtype=np.int64)
+    else:
+        line_boxes = cluster_lines(boxes)
+        line_no = assign_lines(boxes, line_boxes)
 
     # LTR reindex by x (ocr_processor.py:160-190): id = rank in x order;
     # group per line in one pass (x order within the line is preserved).

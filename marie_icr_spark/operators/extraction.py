@@ -69,14 +69,14 @@ EXTRACTED_FULL_SCHEMA = T.StructType(
 
 
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], with_structs: bool
+    batches: Iterator[pd.DataFrame], with_structs: bool, mode: str
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         texts = pdf["text"]
         kinds, outs, spans = [], [], []
         words, lines = [], []
         for t in texts:
-            r = extract_turn(t)
+            r = extract_turn(t, mode=mode)
             kinds.append(r.payload_kind)
             outs.append(r.extracted_text)
             spans.append(r.span_count)
@@ -101,17 +101,22 @@ def _extract_batches(
         yield res
 
 
-def extract_turns(df: DataFrame, with_structs: bool = False) -> DataFrame:
+def extract_turns(
+    df: DataFrame, with_structs: bool = False, mode: str = "sparse"
+) -> DataFrame:
     """Run main-content extraction over a transcript DataFrame.
 
     Input columns: at least (conv_id, turn_idx, role, text, tool). Output is
     one row per turn with (payload_kind, extracted_text, span_count) and,
     when ``with_structs``, the layout word/line structs (FIXTURES.md §3).
+    ``mode`` = PSM contract for layout payloads (extractors.layout.PSM_MODES,
+    honored per call as the reference honors it per region,
+    marie/ocr/ocr_engine.py:319-322).
     """
     schema = EXTRACTED_FULL_SCHEMA if with_structs else EXTRACTED_SCHEMA
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     return df.select(*cols).mapInPandas(
-        lambda it: _extract_batches(it, with_structs), schema=schema
+        lambda it: _extract_batches(it, with_structs, mode), schema=schema
     )
 
 
