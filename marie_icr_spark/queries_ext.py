@@ -686,3 +686,112 @@ EXT_QUERIES["blob_xml"] = q_blob_xml
 EXT_ORACLES["layout_words"] = _LAYOUT_WORDS_SQL
 EXT_ORACLES["layout_lines"] = ORACLE_LAYOUT_LINES
 EXT_ORACLES["blob_xml"] = ORACLE_BLOB_XML
+
+
+# ---------------------------------------------------------------------------
+# Entity spans + KV pairing oracles (SURVEY §2.9 N4/N6) over a labeled token
+# table derived from documents: first-line words with label key/O/value by
+# position, grid x offsets, score = (j+1)/10.
+# ---------------------------------------------------------------------------
+
+def _labeled_tokens(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.slice(ws_tokens(F.col("text")), 1, 8)).alias("j", "tok"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.select(
+        "doc_id",
+        F.lit(1).alias("line_no"),
+        F.col("j").cast("int").alias("token_idx"),
+        F.when(F.col("j") == 0, "key")
+        .when(F.col("j") == 1, "O")
+        .otherwise("value")
+        .alias("label"),
+        F.col("tok").alias("text"),
+        (9 * F.coalesce(F.sum(F.length("tok") + 1).over(w), F.lit(0)))
+        .cast("int")
+        .alias("x"),
+        F.lit(0).alias("y"),
+        (9 * F.length("tok")).cast("int").alias("w"),
+        F.lit(16).alias("h"),
+        ((F.col("j") + 1) / 10.0).alias("score"),
+    )
+
+
+_LABELED_TOKENS_SQL = f"""
+  SELECT doc_id, 1 line_no, CAST(p.j AS INTEGER) token_idx,
+         CASE WHEN p.j = 0 THEN 'key' WHEN p.j = 1 THEN 'O'
+              ELSE 'value' END "label",
+         p.t AS text,
+         CAST(9 * COALESCE(SUM(len(p.t) + 1) OVER (PARTITION BY doc_id
+              ORDER BY p.j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS INTEGER) x,
+         0 y, CAST(9 * len(p.t) AS INTEGER) w, 16 h,
+         (p.j + 1) / 10.0 score
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w8)), j -> {{'t': w8[j+1], 'j': j}})) p
+    FROM (SELECT doc_id, ({_TOKENS_SQL.format(e='text')})[1:8] w8 FROM documents)
+  )
+"""
+
+
+def q_entity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kv import aggregate_entity_spans
+
+    return aggregate_entity_spans(_labeled_tokens(spark, sf_dir))
+
+
+ORACLE_ENTITY_SPANS = f"""
+WITH tok AS ({_LABELED_TOKENS_SQL}),
+flag AS (
+  SELECT *, CASE WHEN lag("label") OVER w IS NULL
+                 OR lag("label") OVER w != "label" THEN 1 ELSE 0 END chg
+  FROM tok WINDOW w AS (PARTITION BY doc_id, line_no ORDER BY token_idx)
+),
+runs AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY doc_id, line_no
+            ORDER BY token_idx ROWS UNBOUNDED PRECEDING) AS INTEGER) span_id
+  FROM flag
+)
+SELECT doc_id, line_no, span_id, "label",
+       string_agg(text, ' ' ORDER BY token_idx) span_text,
+       MIN(x) x, MIN(y) y,
+       MAX(x + w) - MIN(x) w, MAX(y + h) - MIN(y) h,
+       (floor(AVG(score) * 1000000.0 + 0.5) / 1000000.0) score,
+       CAST(COUNT(*) AS BIGINT) n_tokens
+FROM runs WHERE "label" != 'O'
+GROUP BY doc_id, line_no, span_id, "label"
+"""
+
+
+def q_kv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kv import aggregate_entity_spans, kv_pairs
+
+    return kv_pairs(aggregate_entity_spans(_labeled_tokens(spark, sf_dir)))
+
+
+ORACLE_KV_PAIRS = f"""
+WITH spans AS ({ORACLE_ENTITY_SPANS.strip()})
+SELECT k.doc_id, k.line_no, k.span_text key_text, v.span_text value_text,
+       k.x key_x, v.x value_x
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, line_no ORDER BY x) rn
+      FROM spans WHERE "label" = 'key') k
+JOIN (SELECT *, row_number() OVER (PARTITION BY doc_id, line_no ORDER BY x) rv
+      FROM spans WHERE "label" = 'value') v
+  ON k.doc_id = v.doc_id AND k.line_no = v.line_no AND v.x >= k.x
+WHERE k.rn = 1 AND v.rv = 1
+"""
+
+EXT_QUERIES["entity_spans"] = q_entity_spans
+EXT_QUERIES["kv_pairs"] = q_kv_pairs
+EXT_ORACLES["entity_spans"] = ORACLE_ENTITY_SPANS
+EXT_ORACLES["kv_pairs"] = ORACLE_KV_PAIRS
