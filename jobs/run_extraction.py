@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: resumable transcript extraction.
+
+The production launch shape of the north rule:
+
+    zip -r marie_icr_spark.zip marie_icr_spark
+    spark-submit --py-files marie_icr_spark.zip jobs/run_extraction.py \\
+        --input  <transcripts table/path> \\
+        --output <results table/path> \\
+        [--n-buckets 4096] [--buckets-per-commit 64] [--mode sparse] \\
+        [--salt-partitions 0] [--run-id <id>]
+
+On a cluster the session comes from spark-submit's conf (executors, Iceberg
+catalog); locally it falls back to local[*]. Rerunning with the same
+--output resumes from the last committed bucket (plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcript parquet/table path")
+    ap.add_argument("--output", required=True, help="results output path")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--buckets-per-commit", type=int, default=8)
+    ap.add_argument("--mode", default="sparse", help="PSM mode for layout turns")
+    ap.add_argument(
+        "--salt-partitions", type=int, default=0,
+        help="if >0, salt-repartition the input to this many partitions "
+             "before extraction (hot-conversation file skew)",
+    )
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from marie_icr_spark.operators.extraction import salt_repartition
+    from marie_icr_spark.plans.lineage import run_extraction_job
+
+    spark = SparkSession.builder.appName("marie-icr-spark-extract").getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    transcripts = spark.read.parquet(args.input)
+    if args.salt_partitions > 0:
+        transcripts = salt_repartition(transcripts, args.salt_partitions)
+
+    summary = run_extraction_job(
+        spark,
+        transcripts,
+        args.output,
+        run_id=args.run_id,
+        n_buckets=args.n_buckets,
+        buckets_per_commit=args.buckets_per_commit,
+    )
+    print(json.dumps(summary, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

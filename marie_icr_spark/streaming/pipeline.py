@@ -158,3 +158,68 @@ def stream_kind_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), name
+
+
+def stream_conversation_state(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Custom stateful operator: per-conversation running extraction totals.
+
+    ``applyInPandasWithState`` keyed on conv_id accumulates
+    (turns_seen, spans_total, max_turn_idx) across micro-batches — the
+    streaming twin of the reference's per-document progress tracking
+    (JobSupervisor, marie/job/job_manager.py). State is O(#conversations),
+    not O(#turns): bounded by design.
+
+    Returns (query, memory_sink_name).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = read_transcript_stream(spark, input_dir)
+    extracted = extract_turns(stream)
+
+    out_schema = (
+        "conv_id string, turns_seen long, spans_total long, max_turn_idx int"
+    )
+    state_schema = "turns long, spans long, max_idx int"
+
+    def update(key, pdfs, state):
+        turns, spans, max_idx = (
+            state.get if state.exists else (0, 0, -1)
+        )
+        for pdf in pdfs:
+            turns += len(pdf)
+            spans += int(pdf["span_count"].sum())
+            if len(pdf):
+                max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((turns, spans, max_idx))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "turns_seen": [turns],
+                "spans_total": [spans],
+                "max_turn_idx": [max_idx],
+            }
+        )
+
+    updates = extracted.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "conv_state_sink"
+    writer = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), name

@@ -70,3 +70,30 @@ def test_stream_windowed_kind_counts(spark, stream_input, tmp_path_factory):
     assert (merged["_merge"] == "both").all(), merged[merged["_merge"] != "both"]
     assert (merged["turn_count_e"] == merged["turn_count_s"]).all()
     assert (merged["total_spans_e"] == merged["total_spans_s"]).all()
+
+
+def test_stream_conversation_state(spark, stream_input, tmp_path_factory):
+    from marie_icr_spark.streaming.pipeline import stream_conversation_state
+
+    path, tdf, gdf = stream_input
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+    q, sink = stream_conversation_state(spark, path, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = spark.sql(
+        f"SELECT conv_id, max(turns_seen) turns_seen, max(spans_total) spans_total,"
+        f" max(max_turn_idx) max_turn_idx FROM {sink} GROUP BY conv_id"
+    ).toPandas()
+
+    expected = (
+        gdf.groupby("conv_id")
+        .agg(
+            turns_seen=("turn_idx", "size"),
+            spans_total=("span_count", "sum"),
+            max_turn_idx=("turn_idx", "max"),
+        )
+        .reset_index()
+    )
+    merged = expected.merge(got, on="conv_id", suffixes=("_e", "_s"))
+    assert len(merged) == len(expected)
+    for c in ("turns_seen", "spans_total", "max_turn_idx"):
+        assert (merged[f"{c}_e"] == merged[f"{c}_s"]).all(), c
