@@ -66,10 +66,15 @@ def run_bench(spark, sf_dir: str, replicate: int) -> dict:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, reps: int = 2):
+        # best-of-N: single-shot timings on a shared sandbox swing 2x
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     # q1: the north-star path — per-turn extraction, forced via aggregation
     timed(

@@ -165,6 +165,98 @@ def _drop_contained(boxes: np.ndarray) -> np.ndarray:
     return b[keep]
 
 
+def fast_band_lines(boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fast path for clean band-structured layouts.
+
+    When the y-intervals decompose into components where (a) every pair in a
+    component overlaps with IoU provably ≥ IOU_LADDER[0], (b) components'
+    spans (true max-y1 and envelope extent alike) are strictly disjoint, and
+    (c) no two boxes are coordinate-identical, the full IoU ladder provably
+    yields exactly one line per component (pass 1 merges each component, pass
+    2 sees no overlaps) and every non-degenerate word assignment is its own
+    band. Returns ``(line_boxes, line_no)`` — with the reference's
+    identical-box fallback (line_processor.py:32-44) replicated for words
+    whose box equals their line box — or ``None`` when the preconditions
+    fail (caller falls back to the general ladder).
+    """
+    b = np.asarray(boxes, dtype=np.int64).reshape(-1, 4)
+    n = len(b)
+    if n == 0:
+        return None
+    if (b[:, 3] <= 0).any():
+        return None
+    # duplicates break the ladder's identical-box exclusion semantics
+    if len(np.unique(b, axis=0)) != n:
+        return None
+
+    order = np.argsort(b[:, 1], kind="stable")
+    sb = b[order]
+    y0 = sb[:, 1]
+    y1 = y0 + sb[:, 3]
+
+    comp = np.empty(n, dtype=np.int64)
+    comp[0] = 0
+    run_max = y1[0]
+    c = 0
+    for i in range(1, n):
+        if y0[i] < run_max:
+            comp[i] = c
+            if y1[i] > run_max:
+                run_max = y1[i]
+        else:
+            c += 1
+            comp[i] = c
+            run_max = y1[i]
+    n_comp = c + 1
+
+    big = np.int64(1) << 60
+    min_y0 = np.full(n_comp, big)
+    max_y0 = np.full(n_comp, -big)
+    min_y1 = np.full(n_comp, big)
+    max_y1 = np.full(n_comp, -big)
+    max_h = np.full(n_comp, -big)
+    min_x = np.full(n_comp, big)
+    max_x1 = np.full(n_comp, -big)
+    np.minimum.at(min_y0, comp, y0)
+    np.maximum.at(max_y0, comp, y0)
+    np.minimum.at(min_y1, comp, y1)
+    np.maximum.at(max_y1, comp, y1)
+    np.maximum.at(max_h, comp, sb[:, 3])
+    np.minimum.at(min_x, comp, sb[:, 0])
+    np.maximum.at(max_x1, comp, sb[:, 0] + sb[:, 2])
+
+    sizes = np.bincount(comp, minlength=n_comp)
+    multi = sizes > 1
+    if multi.any():
+        inter_lb = (min_y1 - max_y0)[multi].astype(np.float64)
+        if (inter_lb <= 0).any():
+            return None
+        union_ub = 2 * max_h[multi] - inter_lb
+        if (inter_lb / union_ub < IOU_LADDER[0]).any():
+            return None
+
+    env_end = min_y0 + max_h
+    span_end = np.maximum(env_end, max_y1)
+    if n_comp > 1 and (min_y0[1:] < span_end[:-1]).any():
+        return None
+
+    lines = np.column_stack([min_x, min_y0, max_x1 - min_x, max_h])
+
+    # per-word line number: own component, except the reference's
+    # identical-box exclusion → nearest line-bottom fallback
+    line_no_sorted = comp + 1
+    same = (sb == lines[comp]).all(axis=1)
+    if same.any():
+        bottoms = lines[:, 1] + lines[:, 3]
+        for i in np.nonzero(same)[0]:
+            cy = sb[i, 1] + sb[i, 3] // 2
+            line_no_sorted[i] = int(np.argmin(np.abs(cy - bottoms))) + 1
+
+    line_no = np.empty(n, dtype=np.int64)
+    line_no[order] = line_no_sorted
+    return lines, line_no
+
+
 def cluster_lines(boxes) -> np.ndarray:
     """Cluster word boxes into line boxes.
 

@@ -45,6 +45,7 @@ BOILERPLATE_KEYWORDS = (
     "cookie", "banner", "consent", "nav", "menu", "footer", "header",
     "sidebar", "advert", "promo", "breadcrumb", "share", "social",
 )
+_BOILER_KEYWORD_RE = re.compile("|".join(BOILERPLATE_KEYWORDS))
 # A block is boilerplate when more than this fraction of its words sit
 # inside anchors (Boilerpipe's link-density rule).
 MAX_LINK_DENSITY = 0.5
@@ -75,11 +76,12 @@ def _tokenize(src: str) -> Iterator[tuple[str, str, dict[str, str]]]:
             break
         if lt > i:
             yield ("text", src[i:lt], {})
-        if src.startswith("<!--", lt):
-            end = src.find("-->", lt + 4)
-            i = n if end == -1 else end + 3
-            continue
-        if src.startswith("<!", lt) or src.startswith("<?", lt):
+        nxt = src[lt + 1] if lt + 1 < n else ""
+        if nxt in "!?":  # comments / doctype / processing instructions
+            if src.startswith("<!--", lt):
+                end = src.find("-->", lt + 4)
+                i = n if end == -1 else end + 3
+                continue
             end = src.find(">", lt)
             i = n if end == -1 else end + 1
             continue
@@ -122,7 +124,7 @@ def _tokenize(src: str) -> Iterator[tuple[str, str, dict[str, str]]]:
 
 def _is_boilerplate_attr(attrs: dict[str, str]) -> bool:
     blob = (attrs.get("class", "") + " " + attrs.get("id", "")).lower()
-    return any(k in blob for k in BOILERPLATE_KEYWORDS)
+    return _BOILER_KEYWORD_RE.search(blob) is not None
 
 
 class _Block:
@@ -142,6 +144,7 @@ def extract_html(src: str) -> dict[str, object]:
     """
     # stack frames: (tag, is_boiler, is_head, is_anchor)
     stack: list[tuple[str, bool, bool, bool]] = []
+    open_counts: dict[str, int] = {}
     boiler_depth = 0
     head_depth = 0
     anchor_depth = 0
@@ -158,6 +161,7 @@ def extract_html(src: str) -> dict[str, object]:
     def pop_frame() -> str:
         nonlocal boiler_depth, head_depth, anchor_depth
         tag, is_boiler, is_head, is_anchor = stack.pop()
+        open_counts[tag] -= 1
         if is_boiler:
             boiler_depth -= 1
         if is_head:
@@ -184,7 +188,9 @@ def extract_html(src: str) -> dict[str, object]:
 
         tag = payload
         if kind in ("open", "selfclose"):
-            is_boiler = tag in BOILERPLATE_TAGS or _is_boilerplate_attr(attrs)
+            is_boiler = tag in BOILERPLATE_TAGS or bool(
+                attrs and _is_boilerplate_attr(attrs)
+            )
             if tag in BLOCK_TAGS or is_boiler:
                 flush()
             if kind == "selfclose":
@@ -192,14 +198,16 @@ def extract_html(src: str) -> dict[str, object]:
             is_head = tag in HEAD_TAGS
             is_anchor = tag == "a"
             stack.append((tag, is_boiler, is_head, is_anchor))
+            open_counts[tag] = open_counts.get(tag, 0) + 1
             boiler_depth += is_boiler
             head_depth += is_head
             anchor_depth += is_anchor
             continue
 
         # close tag: pop to the matching open (implicit closes fail-open);
-        # a close with no matching open is ignored.
-        if any(fr[0] == tag for fr in stack):
+        # a close with no matching open is ignored. open_counts gives O(1)
+        # membership instead of scanning the stack per close tag.
+        if open_counts.get(tag, 0) > 0:
             while stack and pop_frame() != tag:
                 pass
 

@@ -23,15 +23,25 @@ from __future__ import annotations
 import json
 from typing import Any
 
+try:  # orjson is ~5x faster for payload parsing; fall back to stdlib
+    import orjson as _fastjson
+
+    def _loads(s):
+        return _fastjson.loads(s)
+except ImportError:  # pragma: no cover
+    def _loads(s):
+        return json.loads(s)
+
 import numpy as np
 
-from .boxmath import assign_lines, cluster_lines, envelope
+from .boxmath import assign_lines, cluster_lines, envelope, fast_band_lines
 from .textnorm import join_lines, join_words
 
 # Word confidence for already-textual payloads: there is no recognizer, so
 # every span is exact. Rounding contract: word conf round 3, line conf round 4
 # (ocr_processor.py:174, :246).
 WORD_CONFIDENCE = 1.0
+_WORD_CONF_R3 = round(WORD_CONFIDENCE, 3)
 
 
 def parse_layout_payload(text: str) -> list[dict[str, Any]] | None:
@@ -46,7 +56,7 @@ def parse_layout_payload(text: str) -> list[dict[str, Any]] | None:
     if not s or s[0] not in "[{":
         return None
     try:
-        data = json.loads(s)
+        data = _loads(s)
     except (ValueError, RecursionError):
         return None
     if isinstance(data, dict):
@@ -110,8 +120,8 @@ def extract_layout(words_in: list[dict[str, Any]], mode: str = "sparse") -> dict
             "words": [
                 {
                     "id": i, "text": t,
-                    "confidence": round(WORD_CONFIDENCE, 3),
-                    "box": [int(v) for v in boxes[i]],
+                    "confidence": _WORD_CONF_R3,
+                    "box": boxes[i].tolist(),
                     "line": 1, "word_index": i,
                 }
                 for i, t in enumerate(texts)
@@ -136,20 +146,26 @@ def extract_layout(words_in: list[dict[str, Any]], mode: str = "sparse") -> dict
         rank = {int(y): i + 1 for i, y in enumerate(uniq)}
         line_no = np.asarray([rank[int(y)] for y in ys], dtype=np.int64)
     else:
-        line_boxes = cluster_lines(boxes)
-        line_no = assign_lines(boxes, line_boxes)
+        fast = fast_band_lines(boxes)
+        if fast is not None:
+            _, line_no = fast
+        else:
+            line_boxes = cluster_lines(boxes)
+            line_no = assign_lines(boxes, line_boxes)
 
     # LTR reindex by x (ocr_processor.py:160-190): id = rank in x order;
     # group per line in one pass (x order within the line is preserved).
     order = np.argsort(boxes[:, 0], kind="stable")
+    boxes_list = boxes.tolist()
+    line_list = line_no.tolist()
     by_line: dict[int, list[dict[str, Any]]] = {}
-    for rank, idx in enumerate(order):
+    for rank, idx in enumerate(order.tolist()):
         w = {
             "id": rank,
             "text": texts[idx],
-            "confidence": round(WORD_CONFIDENCE, 3),
-            "box": [int(v) for v in boxes[idx]],
-            "line": int(line_no[idx]),
+            "confidence": _WORD_CONF_R3,
+            "box": boxes_list[idx],
+            "line": line_list[idx],
         }
         by_line.setdefault(w["line"], []).append(w)
 

@@ -105,3 +105,48 @@ def test_cluster_is_deterministic_on_random_boxes():
     assert (a == b).all()
     out = assign_lines(boxes, a)
     assert (out >= 1).all() and (out <= len(a)).all()
+
+
+def test_fast_band_path_equivalent_to_ladder():
+    """fast_band_lines must agree with the general ladder whenever it fires."""
+    from marie_icr_spark.extractors.boxmath import fast_band_lines
+
+    rng = np.random.RandomState(99)
+    fired = 0
+    for trial in range(300):
+        nlines = rng.randint(1, 7)
+        boxes = []
+        for ln in range(nlines):
+            x = 0
+            y = ln * rng.randint(18, 40)
+            h = 16
+            for _ in range(rng.randint(1, 8)):
+                w = rng.randint(9, 80)
+                boxes.append([x, y, w, h])
+                x += w + rng.randint(5, 20)
+        boxes = np.array(boxes)
+        boxes = boxes[rng.permutation(len(boxes))]
+        fast = fast_band_lines(boxes)
+        if fast is None:
+            continue
+        fired += 1
+        flines, fno = fast
+        glines = cluster_lines(boxes)
+        gno = assign_lines(boxes, glines)
+        assert (flines == glines).all(), (trial, flines, glines)
+        assert (fno == gno).all(), (trial, fno.tolist(), gno.tolist())
+    assert fired > 150, f"fast path almost never fires ({fired}/300)"
+
+
+def test_fast_band_path_rejects_messy():
+    from marie_icr_spark.extractors.boxmath import fast_band_lines
+
+    # jittered overlapping bands → must fall back (conservative bound)
+    jitter = np.array([[0, 0, 50, 16], [60, 10, 50, 16]])
+    assert fast_band_lines(jitter) is None
+    # duplicates → must fall back
+    dup = np.array([[0, 0, 50, 16], [0, 0, 50, 16]])
+    assert fast_band_lines(dup) is None
+    # zero-height → must fall back
+    zh = np.array([[0, 0, 50, 0], [0, 40, 50, 16]])
+    assert fast_band_lines(zh) is None
