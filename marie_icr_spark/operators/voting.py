@@ -162,3 +162,35 @@ def class_majority_vote(
         round_half_up(score, 4).alias("vote_score"),
         F.col("_n_cand").cast("long").alias("n_candidates"),
     )
+
+
+def vote_extractions(
+    outputs: list[DataFrame],
+    key_cols: list[str] = ("conv_id", "turn_idx"),
+    text_col: str = "extracted_text",
+    min_vote_count: int = 2,
+) -> DataFrame:
+    """Ensemble the per-turn text of several extraction strategies.
+
+    The 'best' engine of the reference runs multiple OCR engines and
+    majority-votes the results (voting_ocr_engine.py:424-471, engine registry
+    marie/ocr/util.py:89-151). Each input DataFrame is one strategy's
+    extraction output; candidates vote per turn with confidence = span_count
+    (denser extraction wins ties), falling back to the highest-confidence
+    single candidate below the vote threshold.
+
+    Output: key_cols + (voted, votes, vote_confidence).
+    """
+    from functools import reduce
+
+    key_cols = list(key_cols)
+    candidates = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.select(*key_cols, text_col, F.col("span_count").cast("double").alias("_conf"))
+            for df in outputs
+        ],
+    )
+    return word_majority_vote(
+        candidates, key_cols, text_col, "_conf", min_vote_count=min_vote_count
+    )

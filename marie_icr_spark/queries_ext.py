@@ -795,3 +795,63 @@ EXT_QUERIES["entity_spans"] = q_entity_spans
 EXT_QUERIES["kv_pairs"] = q_kv_pairs
 EXT_ORACLES["entity_spans"] = ORACLE_ENTITY_SPANS
 EXT_ORACLES["kv_pairs"] = ORACLE_KV_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Template/anchor matching (SURVEY §2.8 B10) over canonical document lines
+# ---------------------------------------------------------------------------
+
+_ANCHORS = (
+    "the fast key order sort table scan merge",
+    "spark group query row data slow small filter",
+    "join a filter window row join stream customer",
+)
+_ANCHOR_T = 0.4
+
+
+def q_anchor_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.template_match import match_anchors
+    from .sources.transcripts import canonical_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(canonical_lines(F.col("text"))).alias("line_idx", "line_text"),
+    ).withColumn("line_no", (F.col("line_idx") + 1).cast("int"))
+    return match_anchors(
+        d, list(_ANCHORS), ["doc_id"], threshold=_ANCHOR_T
+    ).select("doc_id", "anchor", "matched_line", "match_line_no", "score")
+
+
+_ANCHOR_LIST_SQL = ", ".join(f"'{a}'" for a in _ANCHORS)
+
+ORACLE_ANCHOR_MATCH = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM documents),
+l AS (
+  SELECT doc_id,
+         CAST(unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) + 1 AS INTEGER)
+           line_no, w
+  FROM t
+),
+lines AS (
+  SELECT doc_id, line_no,
+         array_to_string(w[(line_no-1)*8+1 : (line_no-1)*8+8], ' ') line_text
+  FROM l
+),
+scored AS (
+  SELECT doc_id, line_no, line_text, anchor,
+         1.0 - CAST(levenshtein(line_text, anchor) AS DOUBLE)
+               / greatest(len(line_text), len(anchor), 1) score
+  FROM lines, (SELECT unnest([{_ANCHOR_LIST_SQL}]) anchor)
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, anchor
+            ORDER BY score DESC, line_no ASC) rn
+  FROM scored WHERE score >= {_ANCHOR_T}
+)
+SELECT doc_id, anchor, line_text AS matched_line, line_no AS match_line_no,
+       (floor(score * 1000000.0 + 0.5) / 1000000.0) AS score
+FROM best WHERE rn = 1
+"""
+
+EXT_QUERIES["anchor_match"] = q_anchor_match
+EXT_ORACLES["anchor_match"] = ORACLE_ANCHOR_MATCH

@@ -1,0 +1,97 @@
+"""Property-based fuzzing of the extraction core (hypothesis).
+
+The reference has no property testing (SURVEY §5); these pin the engine's
+hard contracts: never raise, deterministic, normalization idempotent, golden
+join rules, and layout invariants under arbitrary boxes.
+"""
+
+import json
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from marie_icr_spark.extractors.boxmath import assign_lines, cluster_lines
+from marie_icr_spark.extractors.core import extract_turn
+from marie_icr_spark.extractors.textnorm import normalize_plain, span_count
+
+any_text = st.text(max_size=400)
+html_ish = st.text(
+    alphabet="<>/ab p&#;\"'=!-\n\t xyz0123456789",
+    max_size=300,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text)
+def test_extract_never_raises_and_is_deterministic(payload):
+    r1 = extract_turn(payload)
+    r2 = extract_turn(payload)
+    assert r1.extracted_text == r2.extracted_text
+    assert r1.payload_kind == r2.payload_kind
+    assert r1.span_count == span_count(r1.extracted_text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_ish)
+def test_malformed_markup_never_raises(payload):
+    r = extract_turn(payload)
+    assert isinstance(r.extracted_text, str)
+    # output never contains raw whitespace runs within a line
+    for line in r.extracted_text.split("\n"):
+        assert "  " not in line
+        assert line == line.strip()
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text)
+def test_plain_normalization_idempotent(payload):
+    once = normalize_plain(payload)
+    assert normalize_plain(once) == once
+
+
+boxes_strategy = st.lists(
+    st.tuples(
+        st.integers(-50, 2000), st.integers(-50, 2000),
+        st.integers(-5, 300), st.integers(-5, 40),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(boxes_strategy)
+def test_layout_invariants_arbitrary_boxes(boxes):
+    payload = json.dumps(
+        [{"text": f"w{i}", "box": list(b)} for i, b in enumerate(boxes)]
+    )
+    r = extract_turn(payload)
+    assert r.payload_kind == "layout"
+    usable = [b for b in boxes if b[2] > 0 and b[3] > 0]
+    # every usable word appears exactly once, text round-trips
+    assert len(r.words) == len(usable)
+    assert sorted(w["word_index"] for w in r.words) == list(range(len(usable)))
+    assert sorted(w["id"] for w in r.words) == list(range(len(usable)))
+    joined = r.extracted_text.replace("\n", " ")
+    assert sorted(joined.split()) == sorted(
+        f"w{i}" for i, b in enumerate(boxes) if b[2] > 0 and b[3] > 0
+    )
+    # line ids are 1..L and wordids partition the words
+    lids = [ln["line"] for ln in r.lines]
+    assert lids == list(range(1, len(r.lines) + 1))
+    all_wordids = sorted(wid for ln in r.lines for wid in ln["wordids"])
+    assert all_wordids == list(range(len(usable)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(boxes_strategy)
+def test_cluster_assign_total_and_deterministic(boxes):
+    b = np.array([x for x in boxes if x[2] > 0 and x[3] > 0], dtype=np.int64)
+    b = b.reshape(-1, 4)
+    lines = cluster_lines(b)
+    if len(b):
+        assert len(lines) >= 1
+        out = assign_lines(b, lines)
+        assert (out >= 1).all() and (out <= len(lines)).all()
+        assert (cluster_lines(b) == lines).all()

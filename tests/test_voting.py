@@ -92,3 +92,20 @@ def test_word_majority_vote_and_fallback(spark):
     assert rows[1]["vote_confidence"] == pytest.approx(0.7)
     assert rows[2]["voted"] == "dag"  # min_vote_count unmet → best single
     assert rows[2]["vote_confidence"] == pytest.approx(0.9)
+
+
+def test_vote_extractions_across_strategies(spark):
+    from marie_icr_spark.operators.voting import vote_extractions
+
+    def eng(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, extracted_text string, span_count int"
+        )
+
+    # turn 0: engines 1+2 agree; turn 1: all disagree → densest single wins
+    e1 = eng([("c", 0, "hello world", 2), ("c", 1, "alpha", 1)])
+    e2 = eng([("c", 0, "hello world", 2), ("c", 1, "beta beta", 2)])
+    e3 = eng([("c", 0, "hello wurld", 2), ("c", 1, "gamma", 1)])
+    out = {r["turn_idx"]: r for r in vote_extractions([e1, e2, e3]).collect()}
+    assert out[0]["voted"] == "hello world" and out[0]["votes"] == 2
+    assert out[1]["voted"] == "beta beta"  # fallback: max confidence
