@@ -855,3 +855,71 @@ FROM best WHERE rn = 1
 
 EXT_QUERIES["anchor_match"] = q_anchor_match
 EXT_ORACLES["anchor_match"] = ORACLE_ANCHOR_MATCH
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators: as-of join + sessionization (oracled via DuckDB's
+# native ASOF JOIN and window SQL)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the user's most recent prior 'signup'/'login'
+    checkpoint (union+window as-of join — one shuffle)."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "event_type")
+    right = (
+        ev.filter(F.col("event_type").isin("signup", "login"))
+        .select("user_id", F.col("ts").alias("cp_ts"),
+                F.col("event_id").alias("cp_event_id"))
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="cp_ts",
+        value_cols=["cp_event_id"], suffix="",
+    )
+    return out.select("event_id", "user_id", "event_type", "cp_event_id")
+
+
+ORACLE_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, l.event_type, r.event_id AS cp_event_id
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type IN ('signup', 'login')
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.temporal import session_stats, sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", gap_minutes=30)
+    return session_stats(s, ["user_id"], "ts")
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS INTEGER) session_id
+  FROM g
+)
+SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) n_events,
+       CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+         AS duration_sec
+FROM s GROUP BY user_id, session_id
+"""
+
+EXT_QUERIES["asof_join"] = q_asof_join
+EXT_QUERIES["sessionize"] = q_sessionize
+EXT_ORACLES["asof_join"] = ORACLE_ASOF_JOIN
+EXT_ORACLES["sessionize"] = ORACLE_SESSIONIZE
