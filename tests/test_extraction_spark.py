@@ -86,3 +86,25 @@ def test_extraction_plan_is_shuffle_free(spark, synth):
     sdf, tdf, gdf = synth
     plan = extract_turns(sdf)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_salt_repartition_balances_hot_conversation(spark, synth):
+    """The skew story (SURVEY §4): a hot conversation spread over salt
+    buckets must not concentrate in one task partition."""
+    from pyspark.sql import functions as F
+
+    sdf, tdf, gdf = synth
+    hot = sdf.filter(F.col("conv_id") == "conv-00000000")
+    n_hot = hot.count()
+    assert n_hot >= 50  # hot_factor guarantees this
+
+    parts = (
+        salt_repartition(hot, 16, salt_buckets=16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    sizes = [r["count"] for r in parts]
+    assert len(sizes) > 4, "hot conversation stayed in too few partitions"
+    assert max(sizes) <= n_hot * 0.5, f"one partition holds too much: {sizes}"
