@@ -17,7 +17,7 @@ import html as _htmllib
 import re
 from typing import Iterator
 
-from .textnorm import collapse_ws, join_lines
+from .textnorm import join_lines
 
 # Elements whose entire subtree is boilerplate.
 BOILERPLATE_TAGS = frozenset(
@@ -176,7 +176,10 @@ def extract_html(src: str) -> dict[str, object]:
         if kind == "text":
             if head_depth > 0:
                 continue
-            words = [w for w in collapse_ws(_htmllib.unescape(payload)).split(" ") if w]
+            # str.split() collapses+splits in one C call; unescape only
+            # when an entity can be present
+            text = _htmllib.unescape(payload) if "&" in payload else payload
+            words = text.split()
             if not words:
                 continue
             if boiler_depth > 0:

@@ -37,7 +37,8 @@ def assemble_conversations(
     """
     bucket = (F.col("turn_idx") / bucket_width).cast("long")
     partial = (
-        extracted.withColumn("_bucket", bucket)
+        extracted.select("conv_id", "turn_idx", text_col)  # prune pre-shuffle
+        .withColumn("_bucket", bucket)
         .groupBy("conv_id", "_bucket")
         .agg(
             F.array_join(
