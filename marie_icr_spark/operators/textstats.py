@@ -25,11 +25,13 @@ LANG_MIN_SCORE = 0.05
 WORD_REGEX = "[A-Za-z]+|[0-9]+"  # BPE-ish word/number split (pinned)
 
 
-def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_chars, n_ws_tokens, n_word_tokens, avg_token_len)."""
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """(id_cols..., n_chars, n_ws_tokens, n_word_tokens, avg_token_len)."""
     toks = ws_tokens(F.col(text_col))
     return df.select(
-        "doc_id",
+        *id_cols,
         F.length(text_col).cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(WORD_REGEX), 0))
@@ -54,10 +56,12 @@ def _lang_scores(toks):
     }
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
     """Stopword-ratio language ID: argmax score, tie → lang asc, 'und' when
     the best score is below LANG_MIN_SCORE.
-    Output: (doc_id, pred_lang, lang_score)."""
+    Output: (id_cols..., pred_lang, lang_score)."""
     toks = ws_tokens(F.col(text_col))
     scores = _lang_scores(toks)
     pairs = F.array(
@@ -78,7 +82,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(0),
     )[0]
     return df.select(
-        "doc_id",
+        *id_cols,
         F.when(best["score"] >= LANG_MIN_SCORE, best["lang"])
         .otherwise(F.lit("und"))
         .alias("pred_lang"),
@@ -86,11 +90,13 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
     """Composite quality in [0,1] (pinned formula):
     0.4·min(1, tokens/64) + 0.3·(1 − min(1, 4·punct_ratio))
     + 0.3·min(1, 4·stopword_ratio).
-    Output: (doc_id, n_tokens, punct_ratio, stop_ratio, quality)."""
+    Output: (id_cols..., n_tokens, punct_ratio, stop_ratio, quality)."""
     toks = ws_tokens(F.col(text_col))
     n_toks = F.size(toks)
     n_chars = F.length(text_col)
@@ -108,7 +114,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         4,
     )
     return df.select(
-        "doc_id",
+        *id_cols,
         n_toks.cast("long").alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),

@@ -20,33 +20,8 @@ from .sources.transcripts import CONV_MOD, WORDS_PER_LINE, transcripts_from_docs
 
 # DuckDB fragment: canonical transcript derivation from `documents`
 # (must mirror sources.transcripts.transcripts_from_docs with replicate=1).
-_ORACLE_DERIVE = f"""
-WITH d AS (
-  SELECT
-    doc_id,
-    'conv-' || lpad(CAST(doc_id % {CONV_MOD} AS VARCHAR), 6, '0') AS conv_id,
-    CAST(doc_id // {CONV_MOD} AS INTEGER) AS turn_idx,
-    doc_id % 100 AS kb,
-    string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
-  FROM documents
-),
-g AS (
-  SELECT
-    conv_id,
-    turn_idx,
-    kb,
-    CASE WHEN kb >= 98 THEN '' ELSE
-      array_to_string(
-        list_transform(
-          range(CAST(ceil(len(w) / {WORDS_PER_LINE}.0) AS BIGINT)),
-          i -> array_to_string(w[i*{WORDS_PER_LINE}+1 : i*{WORDS_PER_LINE}+{WORDS_PER_LINE}], ' ')
-        ), chr(10))
-    END AS extracted_text,
-    CAST(CASE WHEN kb >= 98 THEN 0
-         ELSE ceil(len(w) / {WORDS_PER_LINE}.0) END AS INTEGER) AS span_count
-  FROM d
-)
-"""
+from .oracle_common import _ORACLE_DERIVE  # noqa: E402
+
 
 
 def q_extract_turns(spark: SparkSession, sf_dir: str) -> DataFrame:

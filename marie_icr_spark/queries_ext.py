@@ -923,3 +923,101 @@ EXT_QUERIES["asof_join"] = q_asof_join
 EXT_QUERIES["sessionize"] = q_sessionize
 EXT_ORACLES["asof_join"] = ORACLE_ASOF_JOIN
 EXT_ORACLES["sessionize"] = ORACLE_SESSIONIZE
+
+
+# ---------------------------------------------------------------------------
+# LayoutLM-style box normalization (ner/utils.py:13-28) + composed
+# extraction→quality pipeline
+# ---------------------------------------------------------------------------
+
+def q_normalized_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word boxes normalized to the 0-1000 LayoutLM grid per turn
+    (normalize_bbox, marie/executor/ner/utils.py:13-28: trunc(1000·v/dim));
+    page dims = max extents of the turn's words."""
+    from pyspark.sql.window import Window
+
+    t = transcripts_from_docs(spark, sf_dir)
+    e = extract_turns(t, with_structs=True).filter(
+        F.col("payload_kind") == "layout"
+    )
+    w = e.select("conv_id", "turn_idx", F.explode("words").alias("w")).select(
+        "conv_id", "turn_idx",
+        F.col("w.id").cast("int").alias("word_id"),
+        F.col("w.box")[0].alias("x0"), F.col("w.box")[1].alias("y0"),
+        (F.col("w.box")[0] + F.col("w.box")[2]).alias("x1"),
+        (F.col("w.box")[1] + F.col("w.box")[3]).alias("y1"),
+    )
+    wt = Window.partitionBy("conv_id", "turn_idx")
+    w = w.withColumn("pw", F.max("x1").over(wt)).withColumn(
+        "ph", F.max("y1").over(wt)
+    )
+    def norm(c, dim):
+        return ((F.col(c).cast("long") * 1000) / F.col(dim)).cast("int")
+    return w.select(
+        "conv_id", "turn_idx", "word_id",
+        norm("x0", "pw").alias("nx0"), norm("y0", "ph").alias("ny0"),
+        norm("x1", "pw").alias("nx1"), norm("y1", "ph").alias("ny1"),
+    )
+
+
+ORACLE_NORMALIZED_BOXES = f"""
+WITH base AS ({_LAYOUT_WORDS_SQL}),
+dims AS (
+  SELECT *, MAX(x1) OVER (PARTITION BY conv_id, turn_idx) pw,
+            MAX(y1) OVER (PARTITION BY conv_id, turn_idx) ph
+  FROM base
+)
+SELECT conv_id, turn_idx, word_id,
+       CAST((CAST(x0 AS BIGINT) * 1000) // pw AS INTEGER) nx0,
+       CAST((CAST(y0 AS BIGINT) * 1000) // ph AS INTEGER) ny0,
+       CAST((CAST(x1 AS BIGINT) * 1000) // pw AS INTEGER) nx1,
+       CAST((CAST(y1 AS BIGINT) * 1000) // ph AS INTEGER) ny1
+FROM dims
+"""
+
+
+def q_turn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: extraction → quality scoring of the extracted
+    text per turn (the training-data filter applied to pipeline output)."""
+    from .operators.textstats import quality_score
+
+    t = transcripts_from_docs(spark, sf_dir)
+    e = extract_turns(t)
+    return quality_score(
+        e, text_col="extracted_text", id_cols=("conv_id", "turn_idx")
+    )
+
+
+from .oracle_common import _ORACLE_DERIVE as _ORACLE_DERIVE_REF  # noqa: E402
+
+ORACLE_TURN_QUALITY = (
+    _ORACLE_DERIVE_REF
+    + f"""
+, x AS (SELECT conv_id, turn_idx, extracted_text AS txt,
+          CASE WHEN extracted_text = '' THEN ['']
+               ELSE string_split(replace(extracted_text, chr(10), ' '), ' ')
+          END w
+        FROM g),
+y AS (SELECT conv_id, turn_idx, len(w) n_toks,
+        len(txt) - len(regexp_replace(txt, '[^A-Za-z0-9 ]', '', 'g')) punct,
+        len(txt) n_chars,
+        len(list_filter(w, t -> list_contains([{_ALL_STOP_SQL}], t))) n_stop
+      FROM x),
+r AS (SELECT conv_id, turn_idx, n_toks,
+        (floor((CAST(punct AS DOUBLE) / greatest(n_chars, 1)) * 1000000.0 + 0.5) / 1000000.0) punct_ratio,
+        (floor((CAST(n_stop AS DOUBLE) / greatest(n_toks, 1)) * 1000000.0 + 0.5) / 1000000.0) stop_ratio
+      FROM y)
+SELECT conv_id, turn_idx, CAST(n_toks AS BIGINT) n_tokens, punct_ratio,
+       stop_ratio,
+       (floor((0.4 * least(1.0, n_toks / 64.0)
+               + 0.3 * (1.0 - least(1.0, punct_ratio * 4))
+               + 0.3 * least(1.0, stop_ratio * 4)) * 10000.0 + 0.5) / 10000.0)
+         AS quality
+FROM r
+"""
+)
+
+EXT_QUERIES["normalized_boxes"] = q_normalized_boxes
+EXT_QUERIES["turn_quality"] = q_turn_quality
+EXT_ORACLES["normalized_boxes"] = ORACLE_NORMALIZED_BOXES
+EXT_ORACLES["turn_quality"] = ORACLE_TURN_QUALITY
