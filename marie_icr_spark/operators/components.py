@@ -1,0 +1,93 @@
+"""Connected components via iterative min-label propagation.
+
+Near-dup *pairs* (Jaccard/MinHash/embedding) become dedup *groups* by taking
+connected components of the pair graph and keeping one canonical id per
+component — the standard last mile of corpus dedup at scale.
+
+Algorithm: alternating small/large-star label propagation simplified to
+undirected min-label flooding — each round every vertex adopts the minimum
+label in its neighborhood; converges in O(diameter) rounds. Each round is
+one shuffle (groupBy vertex); ``localCheckpoint`` truncates the iterative
+lineage so plans don't grow unboundedly (the driver-side loop carries only
+a convergence flag, never data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Component label (min member id) per vertex of the undirected graph.
+
+    Output: (vertex long, component long). Isolated vertices don't appear
+    (callers union them back with component = own id if needed).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["vertex"])
+            .groupBy(F.col("u").alias("vertex"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_min", F.col("component")) < F.col("component")
+                ).alias("_changed"),
+            )
+        )
+        # pointer jumping: component ids are vertex ids, so compressing
+        # label-of-label halves the remaining path each round → O(log n)
+        # rounds on chains instead of O(diameter)
+        lbl = updated.select(
+            F.col("vertex").alias("pv"), F.col("component").alias("pc")
+        )
+        updated = (
+            updated.join(lbl, updated["component"] == lbl["pv"], "left")
+            .select(
+                "vertex",
+                F.coalesce("pc", "component").alias("component"),
+                (
+                    F.col("_changed")
+                    | (F.coalesce("pc", F.col("component")) < F.col("component"))
+                ).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Near-dup pairs → groups: (vertex, keep_id) where keep_id is the
+    smallest id in the component (the canonical survivor)."""
+    return connected_components(pairs, src, dst).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("keep_id")
+    )

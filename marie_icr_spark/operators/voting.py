@@ -43,7 +43,6 @@ def word_majority_vote(
     grouped = df.groupBy(*key_cols, candidate_col).agg(
         F.count(F.lit(1)).alias("votes"),
         F.sum(confidence_col).alias("conf_sum"),
-        F.max(confidence_col).alias("conf_max"),
     )
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("votes").desc(), F.col("conf_sum").desc(), F.col(candidate_col).asc()

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.extraction import EXTRACTED_SCHEMA, extract_turns
+from ..operators.extraction import extract_turns
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
 
 

@@ -1,0 +1,39 @@
+"""Connected components / dedup grouping."""
+
+from marie_icr_spark.operators.components import connected_components, dedup_groups
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    out = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert out[10] == out[11] == 10
+    assert out[20] == out[21] == 20
+
+
+def test_dedup_groups_on_jaccard_pairs(spark):
+    """Compose: corpus near-dup pairs → canonical survivor per group."""
+    from marie_icr_spark.operators.dedup import jaccard_pairs
+    from marie_icr_spark.queries_ext import _corpus
+
+    pairs = jaccard_pairs(_corpus(spark, "/root/testdata/sf0.001"), 0.5)
+    groups = dedup_groups(pairs).collect()
+    assert groups, "corpus construction guarantees near-dup pairs"
+    for r in groups:
+        assert r["keep_id"] <= r["doc_id"]
+        # canonical id is always an original document id (< 1e6 offsets)
+    keeps = {r["keep_id"] for r in groups}
+    assert all(k < 1_000_000 for k in keeps)
+
+
+def test_long_chain_converges(spark):
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
