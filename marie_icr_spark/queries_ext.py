@@ -1021,3 +1021,43 @@ EXT_QUERIES["normalized_boxes"] = q_normalized_boxes
 EXT_QUERIES["turn_quality"] = q_turn_quality
 EXT_ORACLES["normalized_boxes"] = ORACLE_NORMALIZED_BOXES
 EXT_ORACLES["turn_quality"] = ORACLE_TURN_QUALITY
+
+
+# ---------------------------------------------------------------------------
+# Dedup grouping: connected components of near-dup pairs (iterative label
+# propagation in Spark; recursive-CTE transitive closure as the oracle)
+# ---------------------------------------------------------------------------
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import dedup_groups
+
+    pairs = jaccard_pairs(_corpus(spark, sf_dir), _JACCARD_T)
+    return dedup_groups(pairs)
+
+
+ORACLE_DEDUP_GROUPS = f"""
+WITH {_CORPUS_SQL},
+tw AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM corpus),
+ss AS (SELECT doc_id did, {_SH_SQL} sh FROM tw),
+sz AS (SELECT did, len(sh) sz FROM ss),
+inv AS (SELECT did, unnest(sh) s FROM ss),
+i AS (SELECT x.did a, y.did b, COUNT(*) i FROM inv x JOIN inv y USING (s)
+      WHERE x.did < y.did GROUP BY 1, 2),
+pairs AS (
+  SELECT a, b FROM i JOIN sz za ON i.a = za.did JOIN sz zb ON i.b = zb.did
+  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= {_JACCARD_T}
+),
+sym AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
+rec AS (
+  WITH RECURSIVE reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+  )
+  SELECT u, v FROM reach
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS keep_id FROM rec GROUP BY u
+"""
+
+EXT_QUERIES["dedup_groups"] = q_dedup_groups
+EXT_ORACLES["dedup_groups"] = ORACLE_DEDUP_GROUPS
