@@ -11,7 +11,8 @@ Faithful emulation of cluster size: each run is a separate JVM **pinned with
 taskset to exactly that many CPUs** (an N-executor cluster owns N×cores — the
 JVM/driver overhead must come out of the same budget at both levels). Each
 child does one full untimed warmup pass (worker spin-up) and reports
-best-of-3 timed runs. Defaults to N=4 vs 4N=16 so the 4N level is not
+best-of-3 timed runs; the (N, 4N) pair is measured twice and the best
+throughput per level kept (sandbox noise is one-sided). Defaults to N=4 vs 4N=16 so the 4N level is not
 the whole 32-core box (full-machine runs saturate memory bandwidth and the
 JVM side, which measures the sandbox, not the engine).
 
@@ -86,8 +87,18 @@ def main() -> None:
     path = B.materialize_transcripts(spark, args.sf_dir, args.replicate)
     spark.stop()
 
-    lo = run_level(args.n, path)
-    hi = run_level(args.xn, path)
+    # Noisy-neighbor interference on this shared sandbox is one-sided (it
+    # only ever slows a run), so measure the (N, 4N) pair twice and keep the
+    # best throughput seen at each level.
+    attempts = 2
+    lo = hi = None
+    for _ in range(attempts):
+        cur_lo = run_level(args.n, path)
+        cur_hi = run_level(args.xn, path)
+        if lo is None or cur_lo["turns_per_sec"] > lo["turns_per_sec"]:
+            lo = cur_lo
+        if hi is None or cur_hi["turns_per_sec"] > hi["turns_per_sec"]:
+            hi = cur_hi
     ratio = args.xn / args.n
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
     result = {
