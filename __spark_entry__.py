@@ -15,11 +15,18 @@ A value-hash match therefore certifies the whole extraction pipeline.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from marie_icr_spark import queries as Q
+# allow invocation from any cwd (spark-submit, driver harness)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from marie_icr_spark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1061,3 +1061,78 @@ SELECT u AS doc_id, LEAST(u, MIN(v)) AS keep_id FROM rec GROUP BY u
 
 EXT_QUERIES["dedup_groups"] = q_dedup_groups
 EXT_ORACLES["dedup_groups"] = ORACLE_DEDUP_GROUPS
+
+
+# ---------------------------------------------------------------------------
+# Remaining MajorityVoter tie policies (best / best_with_diff) as oracles
+# ---------------------------------------------------------------------------
+
+def q_vote_class_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_scored(spark, sf_dir)
+    return class_majority_vote(
+        ev, ["user_id"], "event_type", "conf", tie_break="best"
+    )
+
+
+ORACLE_VOTE_CLASS_BEST = f"""
+WITH ev AS ({_EVENTS_SCORED_SQL}),
+c AS (SELECT user_id, event_type, COUNT(*) votes,
+             (floor((AVG(conf)) * 10000.0 + 0.5) / 10000.0) avg_score,
+             MAX(conf) max_score
+      FROM ev GROUP BY 1, 2),
+s AS (SELECT *, MAX(votes) OVER (PARTITION BY user_id) mx,
+             SUM(votes) OVER (PARTITION BY user_id) n_cand
+      FROM c),
+t AS (SELECT user_id, COUNT(*) tied FROM s WHERE votes = mx GROUP BY 1),
+w AS (SELECT s.*, t.tied, row_number() OVER (PARTITION BY s.user_id
+        ORDER BY s.max_score DESC, s.event_type ASC) rn
+      FROM s JOIN t USING (user_id) WHERE s.votes = s.mx)
+SELECT user_id, event_type AS classification,
+       (floor((CASE WHEN tied > 1 THEN max_score ELSE avg_score END)
+              * 10000.0 + 0.5) / 10000.0) AS vote_score,
+       CAST(n_cand AS BIGINT) AS n_candidates
+FROM w WHERE rn = 1
+"""
+
+
+def q_vote_class_best_with_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_scored(spark, sf_dir)
+    return class_majority_vote(
+        ev, ["user_id"], "event_type", "conf",
+        tie_break="best_with_diff", max_diff=50.0,
+    )
+
+
+ORACLE_VOTE_CLASS_BEST_WITH_DIFF = f"""
+WITH ev AS ({_EVENTS_SCORED_SQL}),
+c AS (SELECT user_id, event_type, COUNT(*) votes,
+             (floor((AVG(conf)) * 10000.0 + 0.5) / 10000.0) avg_score,
+             MAX(conf) max_score
+      FROM ev GROUP BY 1, 2),
+s AS (SELECT *, MAX(votes) OVER (PARTITION BY user_id) mx,
+             SUM(votes) OVER (PARTITION BY user_id) n_cand
+      FROM c),
+t AS (SELECT user_id, COUNT(*) tied FROM s WHERE votes = mx GROUP BY 1),
+w AS (SELECT s.*, t.tied,
+        row_number() OVER (PARTITION BY s.user_id
+          ORDER BY s.max_score DESC, s.event_type ASC) rn,
+        lead(s.max_score) OVER (PARTITION BY s.user_id
+          ORDER BY s.max_score DESC, s.event_type ASC) second_score
+      FROM s JOIN t USING (user_id) WHERE s.votes = s.mx),
+f AS (SELECT *, abs(max_score - COALESCE(second_score, 0.0)) < 50.0 AS close
+      FROM w WHERE rn = 1)
+SELECT user_id,
+       CASE WHEN tied <= 1 OR close THEN event_type ELSE NULL END
+         AS classification,
+       (floor((CASE WHEN tied > 1
+                    THEN CASE WHEN close THEN max_score ELSE 0.0 END
+                    ELSE avg_score END) * 10000.0 + 0.5) / 10000.0)
+         AS vote_score,
+       CAST(n_cand AS BIGINT) AS n_candidates
+FROM f
+"""
+
+EXT_QUERIES["vote_class_best"] = q_vote_class_best
+EXT_QUERIES["vote_class_best_with_diff"] = q_vote_class_best_with_diff
+EXT_ORACLES["vote_class_best"] = ORACLE_VOTE_CLASS_BEST
+EXT_ORACLES["vote_class_best_with_diff"] = ORACLE_VOTE_CLASS_BEST_WITH_DIFF
