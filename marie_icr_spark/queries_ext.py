@@ -1136,3 +1136,48 @@ EXT_QUERIES["vote_class_best"] = q_vote_class_best
 EXT_QUERIES["vote_class_best_with_diff"] = q_vote_class_best_with_diff
 EXT_ORACLES["vote_class_best"] = ORACLE_VOTE_CLASS_BEST
 EXT_ORACLES["vote_class_best_with_diff"] = ORACLE_VOTE_CLASS_BEST_WITH_DIFF
+
+
+# ---------------------------------------------------------------------------
+# LSH index parity: the ANN bucket assignment is exact integer math, so the
+# whole index (4 tables × 8 hyperplanes over quantized vectors) is oracled.
+# ---------------------------------------------------------------------------
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import LSH_TABLES, lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = lsh_bucket(emb)
+    return idx.select(
+        "vec_id",
+        *[F.col("buckets")[t].alias(f"b{t}") for t in range(LSH_TABLES)],
+    )
+
+
+def _lsh_bucket_oracle_sql() -> str:
+    from .operators.similarity import HYPERPLANES, LSH_TABLES
+
+    cols = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for i, plane in enumerate(HYPERPLANES[t]):
+            lit = "[" + ",".join(str(c) for c in plane) + "]"
+            dot = (
+                f"list_sum(list_transform(range(64), "
+                f"j -> q[j+1] * ({lit})[j+1]))"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+        cols.append("(" + " + ".join(bits) + f") AS b{t}")
+    col_sql = ",\n       ".join(cols)
+    return f"""
+WITH q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings)
+SELECT vec_id,
+       {col_sql}
+FROM q
+"""
+
+
+ORACLE_LSH_BUCKETS = _lsh_bucket_oracle_sql()
+
+EXT_QUERIES["lsh_buckets"] = q_lsh_buckets
+EXT_ORACLES["lsh_buckets"] = ORACLE_LSH_BUCKETS
