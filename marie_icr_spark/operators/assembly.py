@@ -104,3 +104,40 @@ def ordered_turns(extracted: DataFrame) -> DataFrame:
 
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return extracted.withColumn("turn_rank", F.row_number().over(w))
+
+
+def dedup_quoted_context(
+    extracted: DataFrame, text_col: str = "extracted_text"
+) -> DataFrame:
+    """Drop lines that verbatim repeat a line of the previous turn.
+
+    Agent transcripts re-quote prior context (FIXTURES.md §2 markdown noise);
+    per conversation, a turn's output keeps only lines absent from the
+    immediately preceding turn's line set. Pure Column ops over a lag
+    window: split → filter(not array_contains(prev)) → join (duplicates
+    within the current turn are preserved, unlike array_except).
+
+    Output: input + (deduped_text string, dropped_lines int).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lines = F.split(F.col(text_col), "\n")
+    prev = F.lag(lines).over(w)
+    kept = F.when(
+        prev.isNull() | (F.col(text_col) == ""), lines
+    ).otherwise(F.filter(lines, lambda l: ~F.array_contains(prev, l)))
+    return (
+        extracted.withColumn("_kept", kept)
+        .withColumn(
+            "dropped_lines",
+            (F.size(lines) - F.size("_kept")).cast("int"),
+        )
+        .withColumn(
+            "deduped_text",
+            F.when(F.col(text_col) == "", F.lit("")).otherwise(
+                F.array_join("_kept", "\n")
+            ),
+        )
+        .drop("_kept")
+    )

@@ -1181,3 +1181,44 @@ ORACLE_LSH_BUCKETS = _lsh_bucket_oracle_sql()
 
 EXT_QUERIES["lsh_buckets"] = q_lsh_buckets
 EXT_ORACLES["lsh_buckets"] = ORACLE_LSH_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# Cross-turn quoted-context dedup (repeated quoted context, FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+def q_context_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.assembly import dedup_quoted_context
+
+    t = transcripts_from_docs(spark, sf_dir)
+    out = dedup_quoted_context(extract_turns(t))
+    return out.select("conv_id", "turn_idx", "deduped_text", "dropped_lines")
+
+
+ORACLE_CONTEXT_DEDUP = (
+    _ORACLE_DERIVE_REF
+    + """
+, l AS (
+  SELECT conv_id, turn_idx, extracted_text,
+         string_split(extracted_text, chr(10)) lines,
+         lag(string_split(extracted_text, chr(10))) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) prev
+  FROM g
+),
+k AS (
+  SELECT conv_id, turn_idx, extracted_text, lines,
+         CASE WHEN prev IS NULL OR extracted_text = '' THEN lines
+              ELSE list_filter(lines, x -> NOT list_contains(prev, x))
+         END kept
+  FROM l
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN extracted_text = '' THEN ''
+            ELSE array_to_string(kept, chr(10)) END AS deduped_text,
+       CAST(len(lines) - len(kept) AS INTEGER) AS dropped_lines
+FROM k
+"""
+)
+
+EXT_QUERIES["context_dedup"] = q_context_dedup
+EXT_ORACLES["context_dedup"] = ORACLE_CONTEXT_DEDUP

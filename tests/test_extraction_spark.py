@@ -108,3 +108,24 @@ def test_salt_repartition_balances_hot_conversation(spark, synth):
     sizes = [r["count"] for r in parts]
     assert len(sizes) > 4, "hot conversation stayed in too few partitions"
     assert max(sizes) <= n_hot * 0.5, f"one partition holds too much: {sizes}"
+
+
+def test_dedup_quoted_context(spark):
+    from marie_icr_spark.operators.assembly import dedup_quoted_context
+
+    df = spark.createDataFrame(
+        [
+            ("c", 0, "hello there\nhow are you"),
+            ("c", 1, "how are you\nnew content line"),   # quotes turn 0
+            ("c", 2, "new content line\nnew content line\nfresh"),  # dup kept twice? no — both repeat turn 1
+            ("d", 0, "how are you"),                      # other conv untouched
+        ],
+        "conv_id string, turn_idx int, extracted_text string",
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in dedup_quoted_context(df).collect()}
+    assert out[("c", 0)]["deduped_text"] == "hello there\nhow are you"
+    assert out[("c", 1)]["deduped_text"] == "new content line"
+    assert out[("c", 1)]["dropped_lines"] == 1
+    assert out[("c", 2)]["deduped_text"] == "fresh"
+    assert out[("c", 2)]["dropped_lines"] == 2
+    assert out[("d", 0)]["deduped_text"] == "how are you"
