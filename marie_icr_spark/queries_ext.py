@@ -1222,3 +1222,93 @@ FROM k
 
 EXT_QUERIES["context_dedup"] = q_context_dedup
 EXT_ORACLES["context_dedup"] = ORACLE_CONTEXT_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# Adlib XML sink (SURVEY §2.1 S11): per-line OCR XML with DPI-normalized
+# 2-decimal coordinates (300dpi px → points = px·72/300 = px·0.24), rendered
+# with exact fixed-point string math (no printf rounding semantics).
+# ---------------------------------------------------------------------------
+
+def _fixed2(col):
+    """px·0.24 formatted with exactly 2 decimals: cents = floor(px·24+0.5)."""
+    cents = F.floor(col.cast("long") * 24 + 0.5).cast("long")
+    return F.concat(
+        (cents / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+
+
+def q_adlib_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_docs(spark, sf_dir)
+    e = extract_turns(t, with_structs=True).filter(
+        F.col("payload_kind") == "layout"
+    )
+    ln = e.select("conv_id", "turn_idx", F.explode("lines").alias("l"))
+    line_xml = F.concat(
+        F.lit('<Line l="'), _fixed2(F.col("l.bbox")[0]),
+        F.lit('" t="'), _fixed2(F.col("l.bbox")[1]),
+        F.lit('" r="'), _fixed2(F.col("l.bbox")[0] + F.col("l.bbox")[2]),
+        F.lit('" b="'), _fixed2(F.col("l.bbox")[1] + F.col("l.bbox")[3]),
+        F.lit('">'), F.col("l.text"), F.lit("</Line>"),
+    )
+    return (
+        ln.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.concat(
+                F.lit("<Page>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("l.line"), line_xml.alias("x")))
+                        ),
+                        lambda s: s["x"],
+                    ),
+                    "",
+                ),
+                F.lit("</Page>"),
+            ).alias("adlib_xml")
+        )
+    )
+
+
+_FIXED2_SQL = (
+    "(CAST(CAST(floor(CAST({e} AS BIGINT) * 24 + 0.5) AS BIGINT) // 100 AS VARCHAR)"
+    " || '.' || lpad(CAST(CAST(floor(CAST({e} AS BIGINT) * 24 + 0.5) AS BIGINT) % 100 AS VARCHAR), 2, '0'))"
+)
+
+ORACLE_ADLIB_XML = f"""
+WITH d AS (
+  SELECT doc_id,
+         'conv-' || lpad(CAST(doc_id % {CONV_MOD} AS VARCHAR), 6, '0') conv_id,
+         CAST(doc_id // {CONV_MOD} AS INTEGER) turn_idx,
+         {_TOKENS_SQL.format(e='text')} w
+  FROM documents WHERE doc_id % 100 >= 40 AND doc_id % 100 < 65
+),
+lines AS (
+  SELECT conv_id, turn_idx,
+         unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) ln, w
+  FROM d
+),
+geo AS (
+  SELECT conv_id, turn_idx, ln,
+         array_to_string(w[ln*8+1 : ln*8+8], ' ') line_text,
+         0 x0, ln * 20 y0,
+         9 * len(array_to_string(w[ln*8+1 : ln*8+8], ' ')) x1,
+         ln * 20 + 16 y1
+  FROM lines
+)
+SELECT conv_id, turn_idx,
+       '<Page>' || string_agg(
+         '<Line l="' || {_FIXED2_SQL.format(e='x0')}
+         || '" t="' || {_FIXED2_SQL.format(e='y0')}
+         || '" r="' || {_FIXED2_SQL.format(e='x1')}
+         || '" b="' || {_FIXED2_SQL.format(e='y1')}
+         || '">' || line_text || '</Line>', '' ORDER BY ln)
+       || '</Page>' AS adlib_xml
+FROM geo GROUP BY conv_id, turn_idx
+"""
+
+EXT_QUERIES["adlib_xml"] = q_adlib_xml
+EXT_ORACLES["adlib_xml"] = ORACLE_ADLIB_XML
