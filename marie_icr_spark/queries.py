@@ -58,7 +58,7 @@ SELECT
        WHEN kb < 90 THEN 'markdown' WHEN kb < 98 THEN 'plain'
        ELSE 'empty' END AS payload_kind,
   COUNT(*) AS turn_count,
-  SUM(span_count) AS total_spans
+  CAST(SUM(span_count) AS BIGINT) AS total_spans
 FROM g GROUP BY 1
 """
 )

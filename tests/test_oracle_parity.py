@@ -54,4 +54,15 @@ def test_query_matches_oracle(spark, con, name):
         return
     odf = _norm(con.execute(os_[name]).fetchdf())
     assert len(sdf) == len(odf), f"row count {len(sdf)} != {len(odf)}"
+    # The driver hashes stringified values, so int64 1478 vs float64 1478.0
+    # is a FAIL there even though assert_frame_equal(check_dtype=False)
+    # passes. Mirror that: numeric kind (i/u vs f) must agree per column.
+    for c in sdf.columns:
+        sk = sdf[c].dtype.kind.replace("u", "i")
+        ok = odf[c].dtype.kind.replace("u", "i")
+        if {sk, ok} <= {"i", "f"}:
+            assert sk == ok, (
+                f"column {c}: spark dtype {sdf[c].dtype} vs oracle {odf[c].dtype}"
+                " — cross-engine numeric kind mismatch (CAST the oracle)"
+            )
     pd.testing.assert_frame_equal(sdf, odf, check_dtype=False)
