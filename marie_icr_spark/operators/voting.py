@@ -120,6 +120,11 @@ def class_majority_vote(
         F.count(F.lit(1)).alias("votes"),
         round_half_up(F.avg(score_col), 4).alias("avg_score"),
         F.max(score_col).alias("max_score"),
+        # second-highest individual score within the class (null if only one
+        # candidate); list is bounded by the ensemble size, never corpus-sized
+        F.get(
+            F.sort_array(F.collect_list(F.col(score_col)), asc=False), 1
+        ).alias("_s2c"),
     )
     wk = Window.partitionBy(*key_cols)
     stats = (
@@ -148,7 +153,15 @@ def class_majority_vote(
             F.col("avg_score")
         )
     elif tie_break == TIE_BEST_WITH_DIFF:
-        close = F.abs(F.col("max_score") - F.coalesce(F.col("_second_score"), F.lit(0.0))) < max_diff
+        # Reference (marie/pipe/voting.py BEST_WITH_DIFF) sorts the INDIVIDUAL
+        # candidates of all tied classes and diffs the top two — which may
+        # both belong to one class. The global top candidate is the top
+        # class's max_score (classes are ranked by max_score); the global
+        # second is max(second-in-top-class, next class's max).
+        top2 = F.when(F.col("_s2c").isNull(), F.col("_second_score")).otherwise(
+            F.greatest(F.col("_s2c"), F.col("_second_score"))
+        )
+        close = F.abs(F.col("max_score") - top2) < max_diff
         keep = (F.col("_tied") <= 1) | close
         cls = F.when(keep, F.col(class_col)).otherwise(F.lit(None))
         score = F.when(F.col("_tied") > 1, F.when(close, F.col("max_score")).otherwise(F.lit(0.0))).otherwise(F.col("avg_score"))

@@ -73,21 +73,28 @@ def source_fingerprint(df: DataFrame, key_cols: tuple[str, ...] = ("conv_id", "t
 
 
 def read_lineage(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Lineage rows, deduplicated on (run_id, source_snapshot_id, bucket):
+    crash-replayed appends (streaming foreachBatch reruns, resumed batch
+    jobs) may physically duplicate a row; all fields except committed_at are
+    deterministic, so read-side dedup presents exactly-once lineage."""
     path = _lineage_dir(output_dir)
     try:
-        return spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+        df = spark.read.schema(LINEAGE_SCHEMA).parquet(path)
     except Exception:
         return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return df.dropDuplicates(["run_id", "source_snapshot_id", "bucket"])
 
 
-def completed_buckets(spark: SparkSession, output_dir: str) -> set[int]:
-    rows = (
-        read_lineage(spark, output_dir)
-        .filter(F.col("status") == STATUS_COMPLETED)
-        .select("bucket")
-        .distinct()
-        .collect()
-    )
+def completed_buckets(
+    spark: SparkSession, output_dir: str, snapshot: str | None = None
+) -> set[int]:
+    """Buckets with a completed lineage row — restricted to the given source
+    snapshot when provided: a bucket committed under a DIFFERENT snapshot is
+    stale (the input changed between runs) and must be reprocessed."""
+    lin = read_lineage(spark, output_dir).filter(F.col("status") == STATUS_COMPLETED)
+    if snapshot is not None:
+        lin = lin.filter(F.col("source_snapshot_id") == snapshot)
+    rows = lin.select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
 
 
@@ -102,10 +109,16 @@ def run_extraction_job(
 ) -> dict:
     """Extract all pending buckets of ``transcripts`` into ``output_dir``.
 
-    Each commit unit processes ``buckets_per_commit`` buckets: writes their
-    result partitions (dynamic overwrite → idempotent) then appends their
-    lineage rows. ``fail_after_commits`` injects a crash between commit
-    units for the kill/rerun test. Returns a summary dict.
+    Scale shape: the 100-TB source is scanned exactly ONCE per run — all
+    pending buckets are extracted and written in a single dynamic-overwrite
+    pass (each bucket partition is byte-idempotent). Lineage is then
+    committed in units of ``buckets_per_commit`` buckets, with stats
+    recomputed from the WRITTEN partitions (partition-pruned reads of the
+    output, never the source) — so the recorded partition_hash certifies
+    what actually landed on disk. A crash between lineage commits loses only
+    lineage rows; resume re-extracts just the unrecorded buckets.
+    ``fail_after_commits`` injects a crash between commit units for the
+    kill/rerun test. Returns a summary dict.
     """
     from ..operators.extraction import extract_turns
 
@@ -115,14 +128,18 @@ def run_extraction_job(
     snapshot = source_fingerprint(transcripts)
     bucketed = with_bucket(transcripts, n_buckets)
 
-    done = completed_buckets(spark, output_dir)
+    # buckets committed under a DIFFERENT source snapshot are stale → redo
+    done = completed_buckets(spark, output_dir, snapshot)
     pending = [b for b in range(n_buckets) if b not in done]
 
     commits = 0
     processed: list[int] = []
-    for i in range(0, len(pending), buckets_per_commit):
-        batch = pending[i : i + buckets_per_commit]
-        subset = bucketed.filter(F.col("bucket").isin(batch))
+    if pending:
+        subset = (
+            bucketed
+            if len(pending) == n_buckets
+            else bucketed.filter(F.col("bucket").isin(pending))
+        )
         # recompute bucket post-extraction instead of joining — exact & free
         extracted = extract_turns(subset).withColumn(
             "bucket",
@@ -134,8 +151,12 @@ def run_extraction_job(
             .parquet(output_dir)
         )
 
+    for i in range(0, len(pending), buckets_per_commit):
+        batch = pending[i : i + buckets_per_commit]
         stats = (
-            extracted.groupBy("bucket")
+            spark.read.parquet(output_dir)
+            .filter(F.col("bucket").isin(batch))  # partition-pruned
+            .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("turn_count"),
                 F.sum("span_count").alias("span_count"),

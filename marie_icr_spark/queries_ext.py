@@ -1107,7 +1107,8 @@ ORACLE_VOTE_CLASS_BEST_WITH_DIFF = f"""
 WITH ev AS ({_EVENTS_SCORED_SQL}),
 c AS (SELECT user_id, event_type, COUNT(*) votes,
              (floor((AVG(conf)) * 10000.0 + 0.5) / 10000.0) avg_score,
-             MAX(conf) max_score
+             MAX(conf) max_score,
+             list_extract(list(conf ORDER BY conf DESC), 2) s2c
       FROM ev GROUP BY 1, 2),
 s AS (SELECT *, MAX(votes) OVER (PARTITION BY user_id) mx,
              SUM(votes) OVER (PARTITION BY user_id) n_cand
@@ -1119,7 +1120,9 @@ w AS (SELECT s.*, t.tied,
         lead(s.max_score) OVER (PARTITION BY s.user_id
           ORDER BY s.max_score DESC, s.event_type ASC) second_score
       FROM s JOIN t USING (user_id) WHERE s.votes = s.mx),
-f AS (SELECT *, abs(max_score - COALESCE(second_score, 0.0)) < 50.0 AS close
+f AS (SELECT *, abs(max_score - CASE WHEN s2c IS NULL THEN second_score
+                                     ELSE greatest(s2c, second_score) END)
+             < 50.0 AS close
       FROM w WHERE rn = 1)
 SELECT user_id,
        CASE WHEN tied <= 1 OR close THEN event_type ELSE NULL END

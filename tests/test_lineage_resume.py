@@ -71,6 +71,44 @@ def test_kill_then_resume_is_byte_identical(spark, sdf, tmp_path_factory):
         assert lin_ref.loc[b, "partition_hash"] == lin_res.loc[b, "partition_hash"]
 
 
+def test_single_extraction_pass_over_source(spark, sdf, tmp_path_factory, monkeypatch):
+    """The 100-TB contract: one extraction plan / one source scan per run,
+    regardless of how many lineage commit units follow."""
+    from marie_icr_spark.operators import extraction as X
+
+    calls = {"n": 0}
+    real = X.extract_turns
+
+    def counting(df, *a, **kw):
+        calls["n"] += 1
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(X, "extract_turns", counting)
+    out = str(tmp_path_factory.mktemp("results_onepass"))
+    summary = run_extraction_job(spark, sdf, out, n_buckets=8, buckets_per_commit=2)
+    assert summary["commits"] == 4
+    assert calls["n"] == 1, "source must be extracted in a single pass"
+
+
+def test_changed_source_snapshot_reprocesses_stale_buckets(
+    spark, tmp_path_factory
+):
+    """ADVICE: a bucket committed under a different source snapshot is stale
+    and must be reprocessed, not silently kept."""
+    tdf, _ = synth_transcripts(n_convs=20, seed=11, hot_factor=5)
+    old = spark.createDataFrame(tdf, schema=TRANSCRIPT_SCHEMA)
+    out = str(tmp_path_factory.mktemp("results_stale"))
+    run_extraction_job(spark, old, out, n_buckets=4)
+
+    tdf2, _ = synth_transcripts(n_convs=25, seed=12, hot_factor=5)
+    new = spark.createDataFrame(tdf2, schema=TRANSCRIPT_SCHEMA)
+    summary = run_extraction_job(spark, new, out, n_buckets=4)
+    assert summary["buckets_skipped"] == [], "stale buckets must not be skipped"
+    assert sorted(summary["buckets_processed"]) == list(range(4))
+    res = read_results(spark, out)
+    assert res.count() == new.count()
+
+
 def test_rerun_on_complete_output_is_noop(spark, sdf, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("results_noop"))
     run_extraction_job(spark, sdf, out, n_buckets=4)

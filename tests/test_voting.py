@@ -63,6 +63,22 @@ def test_majority_tie_best_with_diff_far_abstains(spark):
     assert r["vote_score"] == 0.0
 
 
+def test_majority_tie_best_with_diff_top2_same_class(spark):
+    # Reference BEST_WITH_DIFF diffs the top-2 INDIVIDUAL candidates of the
+    # tied classes — both may sit in one class. invoice has 0.90 and 0.88
+    # (diff 0.02 < 0.1) while letter's max is far below: the reference
+    # returns invoice@0.90; diffing per-class maxes (0.90 vs 0.50) would
+    # wrongly abstain.
+    df = _df(spark, [
+        (0, "invoice", 0.90, "a"), (0, "invoice", 0.88, "b"),
+        (0, "letter", 0.50, "c"), (0, "letter", 0.10, "d"),
+    ])
+    r = _one(class_majority_vote(
+        df, ["page"], "classification", "score", "best_with_diff", max_diff=0.1))
+    assert r["classification"] == "invoice"
+    assert r["vote_score"] == pytest.approx(0.90)
+
+
 def test_single_result_short_circuit(spark):
     df = _df(spark, [(0, "invoice", 0.42, "a")])
     r = _one(class_majority_vote(df, ["page"], "classification", "score"))
