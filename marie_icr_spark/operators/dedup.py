@@ -56,21 +56,45 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+# Guard rails for the candidate-generation joins (PLANS.md §similarity):
+# a shingle appearing in d documents contributes d·(d-1)/2 candidate rows,
+# so one boilerplate shingle with DF=10^6 would alone emit 5·10^11 pairs.
+# Shingles above MAX_SHINGLE_DF are treated as stopwords — dropped from the
+# inverted index AND the sets, so Jaccard stays exact over the filtered
+# shingle universe. Band buckets above MAX_BUCKET_SIZE (near-identical
+# boilerplate clusters) are likewise dropped before the pair join. Both caps
+# are deterministic and replayed verbatim in the DuckDB oracles.
+MAX_SHINGLE_DF = 512
+MAX_BUCKET_SIZE = 256
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
 
-    shuffle profile: explode → hash-join on shingle → hash-agg on (a, b).
+    shuffle profile: explode → DF-cap agg → hash-join on shingle →
+    hash-agg on (a, b). Shingles with document frequency > ``max_shingle_df``
+    are stopworded out of both the index and the set sizes (bounds the
+    posting-list self-join at d²·|hot shingles|).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6.
     """
     sets_ = shingle_sets(df, id_col, text_col, n)
-    sizes = sets_.select("did", F.size("sh").alias("sz"))
-    inv = sets_.select("did", F.explode("sh").alias("s"))
+    inv_all = sets_.select("did", F.explode("sh").alias("s"))
+    # document frequency per shingle (sh is distinct per doc by construction)
+    keep = (
+        inv_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("s")
+    )
+    inv = inv_all.join(keep, "s")
+    sizes = inv.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         inv.alias("x")
         .join(inv.alias("y"), "s")
@@ -114,19 +138,23 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard-verified.
 
-    signature → LSH_BANDS band keys → bucket equi-join finds candidates →
-    candidates verified with exact Jaccard over shingle sets. Deterministic
-    (no probabilistic acceptance beyond band collision), so it is
-    oracle-checkable: the DuckDB twin replays the same signatures and bands.
-    Output: (id_a, id_b, jaccard).
+    signature → LSH_BANDS band keys → bucket-size cap → bucket equi-join
+    finds candidates → candidates verified with exact Jaccard over shingle
+    sets. A degenerate bucket of d near-identical docs yields d²/2 candidate
+    rows, so buckets larger than ``max_bucket_size`` are dropped before the
+    self-join (their members still pair through any other non-degenerate
+    band). Deterministic (no probabilistic acceptance beyond band
+    collision), so it is oracle-checkable: the DuckDB twin replays the same
+    signatures, bands, and cap. Output: (id_a, id_b, jaccard).
     """
     sigs = minhash_signatures(df, id_col, text_col, n).filter(
         F.col("sig").isNotNull()
     )
-    bands = sigs.select(
+    bands_all = sigs.select(
         "did",
         F.posexplode(
             F.array(
@@ -145,6 +173,13 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    small = (
+        bands_all.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    bands = bands_all.join(small, ["band", "bucket"])
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])
@@ -196,11 +231,87 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return df.select(F.col(id_col).alias("doc_id"), total.alias("simhash"))
 
 
+def _cosine_pair(xq, yq, xn, yn):
+    return round_half_up(
+        F.aggregate(
+            F.zip_with(xq, yq, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        / (F.sqrt(xn) * F.sqrt(yn)),
+        6,
+    )
+
+
 def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the 100-TB shape).
+
+    Candidates come from a self-equi-join of the random-hyperplane LSH index
+    (``similarity.lsh_bucket``: L tables × P planes, deterministic): two
+    vectors are candidates iff they share a bucket in ≥1 table. Candidates
+    are verified with the exact quantized cosine — the same
+    candidates → exact-verify pattern as :func:`minhash_lsh_pairs`. Buckets
+    larger than ``max_bucket_size`` are dropped before the self-join
+    (degenerate-cluster guard). Pairs whose vectors share no bucket are not
+    reported (the documented recall trade vs the O(n²) exact form, which
+    survives as :func:`embedding_near_dup_pairs_exact` for cross-checks).
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded 6.
+    """
+    from .similarity import lsh_bucket
+
+    idx = lsh_bucket(emb.select("vec_id", "embedding"))
+    pe = idx.select(
+        F.col("vec_id").alias("vid"),
+        "q",
+        "nrm",
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    small = (
+        pe.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= max_bucket_size)
+        .select("tbl", "bucket")
+    )
+    keys = pe.join(small, ["tbl", "bucket"]).select("tbl", "bucket", "vid")
+    cand = (
+        keys.alias("x")
+        .join(keys.alias("y"), ["tbl", "bucket"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .distinct()
+    )
+    vecs = idx.select(F.col("vec_id").alias("vid"), "q", "nrm")
+    return (
+        cand.join(
+            vecs.select(
+                F.col("vid").alias("id_a"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("id_b"), F.col("q").alias("qb"), F.col("nrm").alias("nb")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            _cosine_pair(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_exact(
     emb: DataFrame, threshold: float, quant: int = 1000
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via quantized integer dot products
-    (exact cross-engine arithmetic: q = floor(x*quant + 0.5)).
+    """Exact all-pairs embedding near-dup (O(n²) theta-join). Correctness
+    cross-check for :func:`embedding_near_dup_pairs` — NOT a scale path.
     Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded 6."""
     q = emb.select(
         F.col("vec_id").alias("vid"),
@@ -215,22 +326,15 @@ def embedding_near_dup_pairs(
             F.col("q"), F.lit(0).cast("long"), lambda a, v: a + v * v
         ),
     )
-    pairs = (
+    return (
         qn.alias("x")
         .join(qn.alias("y"), F.col("x.vid") < F.col("y.vid"))
         .select(
             F.col("x.vid").alias("id_a"),
             F.col("y.vid").alias("id_b"),
-            round_half_up(
-                F.aggregate(
-                    F.zip_with(F.col("x.q"), F.col("y.q"), lambda a, b: a * b),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                / (F.sqrt(F.col("x.nrm")) * F.sqrt(F.col("y.nrm"))),
-                6,
+            _cosine_pair(
+                F.col("x.q"), F.col("y.q"), F.col("x.nrm"), F.col("y.nrm")
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
-    return pairs

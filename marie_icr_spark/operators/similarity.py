@@ -113,33 +113,68 @@ def lsh_bucket(emb: DataFrame) -> DataFrame:
     )
 
 
-def lsh_topk(emb: DataFrame, query: DataFrame, k: int = 10) -> DataFrame:
-    """ANN top-k: probe, in each LSH table, the query's bucket plus its
-    Hamming-1 neighbors (multiprobe); union candidates across tables;
-    exact re-rank inside. Output: (vec_id, cosine)."""
-    indexed = lsh_bucket(emb)
-    qrow = lsh_bucket(query).select(
-        F.col("q").alias("qq"), F.col("nrm").alias("qnrm"),
-        F.col("buckets").alias("qbuckets"), F.col("vec_id").alias("qid"),
+def lsh_index(emb: DataFrame) -> DataFrame:
+    """The ANN index in its probe-able physical shape: one row per
+    (table, bucket) membership — L rows per vector. At cluster scale this is
+    materialized once, partitioned/clustered BY (tbl, bucket), so a probe
+    equi-join reads only the probed partitions instead of scanning the
+    index. Output: (vec_id, q, nrm, tbl, bucket)."""
+    idx = lsh_bucket(emb)
+    return idx.select(
+        "vec_id", "q", "nrm", F.posexplode("buckets").alias("tbl", "bucket")
     )
 
-    def probes(t: int):
-        qb = F.col("qbuckets")[t]
-        return F.array(
-            qb,
+
+def ann_batch_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10, multiprobe: bool = True
+) -> DataFrame:
+    """Batch ANN top-k: a DataFrame of query vectors probed against the LSH
+    index in ONE equi-join — the realistic training-data shape (dedup a
+    whole shard of queries at once), replacing the round-1 scan-and-filter
+    probe.
+
+    Per query and table the probe keys are the query's bucket plus its
+    LSH_PLANES Hamming-1 neighbors (multiprobe), ≤ L·(1+P) keys total. The
+    probe side is tiny → Spark broadcasts it; the index side is touched only
+    on matching (tbl, bucket) keys (partition-pruned when the index is
+    materialized as in :func:`lsh_index`). Candidates are deduped per
+    (query, vector) then exactly re-ranked with the quantized cosine.
+    Output: (query_id, vec_id, cosine, rank) with rank 1..k per query.
+    """
+    index = lsh_index(emb)
+    qb = lsh_bucket(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("buckets").alias("tbl", "qbucket"),
+    )
+    if multiprobe:
+        probe_arr = F.array(
+            F.col("qbucket"),
             *[
-                qb.bitwiseXOR(F.lit(1 << i)).cast("long")
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("long")
                 for i in range(LSH_PLANES)
             ],
         )
-
-    hit = F.array_contains(probes(0), F.col("buckets")[0])
-    for t in range(1, LSH_TABLES):
-        hit = hit | F.array_contains(probes(t), F.col("buckets")[t])
-    cands = (
-        indexed.crossJoin(F.broadcast(qrow))
-        .filter(hit & (F.col("vec_id") != F.col("qid")))
+    else:
+        probe_arr = F.array(F.col("qbucket"))
+    probes = qb.select("query_id", "tbl", F.explode(probe_arr).alias("bucket"))
+    pairs = (
+        F.broadcast(probes)
+        .join(index.select("tbl", "bucket", "vec_id"), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    dvecs = quantize(emb).select("vec_id", "q", "nrm")
+    qvecs = quantize(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        pairs.join(dvecs, "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
         .select(
+            "query_id",
             "vec_id",
             round_half_up(
                 _dot(F.col("q"), F.col("qq"))
@@ -148,4 +183,23 @@ def lsh_topk(emb: DataFrame, query: DataFrame, k: int = 10) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    return cands.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def lsh_topk(emb: DataFrame, query: DataFrame, k: int = 10) -> DataFrame:
+    """Single-query ANN top-k — thin wrapper over :func:`ann_batch_topk`.
+    Output: (vec_id, cosine)."""
+    return (
+        ann_batch_topk(emb, query, k=k)
+        .select("vec_id", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    )

@@ -269,12 +269,16 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SH_SQL = shingles_sql("w", 3)
 
+from .operators.dedup import MAX_BUCKET_SIZE, MAX_SHINGLE_DF  # noqa: E402
+
 ORACLE_JACCARD_PAIRS = f"""
 WITH {_CORPUS_SQL},
 tw AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM corpus),
 ss AS (SELECT doc_id did, {_SH_SQL} sh FROM tw),
-sz AS (SELECT did, len(sh) sz FROM ss),
-inv AS (SELECT did, unnest(sh) s FROM ss),
+inv0 AS (SELECT did, unnest(sh) s FROM ss),
+keep AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+inv AS (SELECT did, s FROM inv0 JOIN keep USING (s)),
+sz AS (SELECT did, COUNT(*) sz FROM inv GROUP BY did),
 i AS (SELECT x.did a, y.did b, COUNT(*) i FROM inv x JOIN inv y USING (s)
       WHERE x.did < y.did GROUP BY 1, 2)
 SELECT a AS id_a, b AS id_b,
@@ -316,8 +320,11 @@ sig AS (SELECT did, sh,
 bands AS (
 {band_selects}
 ),
-cand AS (SELECT DISTINCT x.did a, y.did b FROM bands x
-         JOIN bands y USING (band, bucket) WHERE x.did < y.did),
+small AS (SELECT band, bucket FROM bands GROUP BY 1, 2
+          HAVING COUNT(*) <= {MAX_BUCKET_SIZE}),
+bandsf AS (SELECT bands.* FROM bands JOIN small USING (band, bucket)),
+cand AS (SELECT DISTINCT x.did a, y.did b FROM bandsf x
+         JOIN bandsf y USING (band, bucket) WHERE x.did < y.did),
 v AS (SELECT a id_a, b id_b,
         (floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh))) * 1000000.0 + 0.5) / 1000000.0) jaccard
       FROM cand JOIN nz sa ON cand.a = sa.did JOIN nz sb ON cand.b = sb.did)
@@ -363,13 +370,63 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q_SQL = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
 
+
+def _lsh_bucket_exprs(qcol: str = "q") -> list:
+    """Per-table LSH bucket expressions over a quantized-vector column —
+    the SQL twin of operators.similarity._table_bucket."""
+    from .operators.similarity import HYPERPLANES, LSH_TABLES
+
+    exprs = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for i, plane in enumerate(HYPERPLANES[t]):
+            lit = "[" + ",".join(str(c) for c in plane) + "]"
+            dot = (
+                f"list_sum(list_transform(range(64), "
+                f"j -> {qcol}[j+1] * ({lit})[j+1]))"
+            )
+            bits.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+            )
+        exprs.append("(" + " + ".join(bits) + ")")
+    return exprs
+
+
+def _lsh_index_sql() -> str:
+    """CTE body: quantized embeddings exploded to (tbl, bucket) index rows.
+    Expects to be placed after a CTE ``n(vec_id, q, nrm)``."""
+    exprs = _lsh_bucket_exprs("q")
+    bk = ",\n       ".join(f"{e} AS b{t}" for t, e in enumerate(exprs))
+    pe = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, q, nrm, {t} tbl, b{t} bucket FROM bk"
+        for t in range(len(exprs))
+    )
+    return f"""
+bk AS (SELECT vec_id, q, nrm,
+       {bk}
+       FROM n),
+pe AS (
+{pe}
+)"""
+
+
+_COS_PAIR_SQL = (
+    "(floor((list_sum(list_transform(range(64), i -> na.q[i+1] * nb.q[i+1]))"
+    " / (sqrt(na.nrm) * sqrt(nb.nrm))) * 1000000.0 + 0.5) / 1000000.0)"
+)
+
 ORACLE_EMB_NEAR_DUP = f"""
 WITH q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings),
-n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm FROM q)
-SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-       (floor((list_sum(list_transform(range(64), i -> x.q[i+1] * y.q[i+1])) / (sqrt(x.nrm) * sqrt(y.nrm))) * 1000000.0 + 0.5) / 1000000.0) AS cosine
-FROM n x JOIN n y ON x.vec_id < y.vec_id
-WHERE (floor((list_sum(list_transform(range(64), i -> x.q[i+1] * y.q[i+1])) / (sqrt(x.nrm) * sqrt(y.nrm))) * 1000000.0 + 0.5) / 1000000.0) >= {_NEAR_DUP_T}
+n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm FROM q),
+{_lsh_index_sql()},
+small AS (SELECT tbl, bucket FROM pe GROUP BY 1, 2
+          HAVING COUNT(*) <= {MAX_BUCKET_SIZE}),
+pk AS (SELECT pe.tbl, pe.bucket, pe.vec_id FROM pe JOIN small USING (tbl, bucket)),
+cand AS (SELECT DISTINCT x.vec_id a, y.vec_id b FROM pk x
+         JOIN pk y USING (tbl, bucket) WHERE x.vec_id < y.vec_id)
+SELECT a AS id_a, b AS id_b, {_COS_PAIR_SQL} AS cosine
+FROM cand JOIN n na ON cand.a = na.vec_id JOIN n nb ON cand.b = nb.vec_id
+WHERE {_COS_PAIR_SQL} >= {_NEAR_DUP_T}
 """
 
 
@@ -1039,8 +1096,10 @@ ORACLE_DEDUP_GROUPS = f"""
 WITH {_CORPUS_SQL},
 tw AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM corpus),
 ss AS (SELECT doc_id did, {_SH_SQL} sh FROM tw),
-sz AS (SELECT did, len(sh) sz FROM ss),
-inv AS (SELECT did, unnest(sh) s FROM ss),
+inv0 AS (SELECT did, unnest(sh) s FROM ss),
+keep AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+inv AS (SELECT did, s FROM inv0 JOIN keep USING (s)),
+sz AS (SELECT did, COUNT(*) sz FROM inv GROUP BY did),
 i AS (SELECT x.did a, y.did b, COUNT(*) i FROM inv x JOIN inv y USING (s)
       WHERE x.did < y.did GROUP BY 1, 2),
 pairs AS (
@@ -1184,6 +1243,62 @@ ORACLE_LSH_BUCKETS = _lsh_bucket_oracle_sql()
 
 EXT_QUERIES["lsh_buckets"] = q_lsh_buckets
 EXT_ORACLES["lsh_buckets"] = ORACLE_LSH_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# Batch ANN probe: a batch of query vectors equi-joined against the exploded
+# (tbl, bucket) LSH index with Hamming-1 multiprobe — the round-2 replacement
+# for the scan-and-filter single-query probe. Every step is deterministic
+# integer math, so the full probe → candidate → re-rank path is oracled.
+# ---------------------------------------------------------------------------
+
+_ANN_BATCH_K = 10
+_ANN_BATCH_NQ = 3
+
+
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_batch_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.orderBy("vec_id").limit(_ANN_BATCH_NQ)
+    return ann_batch_topk(emb, qs, k=_ANN_BATCH_K)
+
+
+def _ann_batch_oracle_sql() -> str:
+    from .operators.similarity import LSH_PLANES
+
+    probe_list = ", ".join(
+        ["pe.bucket"] + [f"xor(pe.bucket, {1 << i})" for i in range(LSH_PLANES)]
+    )
+    cos = (
+        "(floor((list_sum(list_transform(range(64), i -> na.q[i+1] * nb.q[i+1]))"
+        " / (sqrt(na.nrm) * sqrt(nb.nrm))) * 1000000.0 + 0.5) / 1000000.0)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings),
+n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm FROM q),
+{_lsh_index_sql()},
+qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_ANN_BATCH_NQ}),
+probes AS (SELECT pe.vec_id query_id, pe.tbl,
+                  unnest([{probe_list}]) bucket
+           FROM pe JOIN qs ON pe.vec_id = qs.vec_id),
+pairs AS (SELECT DISTINCT p.query_id, i.vec_id
+          FROM probes p JOIN pe i ON p.tbl = i.tbl AND p.bucket = i.bucket
+          WHERE i.vec_id != p.query_id),
+scored AS (SELECT pairs.query_id, pairs.vec_id, {cos} cosine
+           FROM pairs JOIN n na ON pairs.query_id = na.vec_id
+                      JOIN n nb ON pairs.vec_id = nb.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, vec_id ASC) rk FROM scored)
+SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS "rank"
+FROM r WHERE rk <= {_ANN_BATCH_K}
+"""
+
+
+ORACLE_ANN_BATCH_TOPK = _ann_batch_oracle_sql()
+
+EXT_QUERIES["ann_batch_topk"] = q_ann_batch_topk
+EXT_ORACLES["ann_batch_topk"] = ORACLE_ANN_BATCH_TOPK
 
 
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from marie_icr_spark.operators.similarity import (
     LSH_PLANES,
+    ann_batch_topk,
     cosine_topk,
     lsh_bucket,
     lsh_topk,
@@ -61,7 +62,38 @@ def test_lsh_topk_recall_on_planted_neighbors(spark):
     assert avg >= 0.8, f"LSH recall on planted near-dups too low: {recalls}"
 
 
-def test_lsh_probe_is_filter_not_crossjoin(spark, emb):
-    qdf = emb.orderBy("vec_id").limit(1)
-    plan = lsh_topk(emb, qdf)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+def test_ann_probe_is_equi_join_not_scan(spark, emb):
+    """The round-2 contract: the probe is an equi-join on (tbl, bucket) —
+    partition-prunable when the index is materialized — NOT a nested-loop /
+    cross-join filter over the full index."""
+    qdf = emb.orderBy("vec_id").limit(3)
+    plan = ann_batch_topk(emb, qdf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ann_batch_topk_matches_brute_force_on_planted(spark):
+    """On clustered near-dup data, the bucketed probe recovers the brute-force
+    top-k (same quantized arithmetic → identical cosines on hits)."""
+    emb = _planted(spark)
+    qids = [0, 4, 40, 80]
+    qdf = emb.filter(F.col("vec_id").isin(qids))
+    batch = ann_batch_topk(emb, qdf, k=3).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+    recalls = []
+    for qid in qids:
+        exact = {
+            r["vec_id"]: r["cosine"]
+            for r in cosine_topk(emb, emb.filter(F.col("vec_id") == qid), k=3).collect()
+        }
+        approx = by_q.get(qid, {})
+        hits = set(exact) & set(approx)
+        recalls.append(len(hits) / len(exact))
+        for h in hits:
+            assert exact[h] == approx[h]
+    assert sum(recalls) / len(recalls) >= 0.8, f"batch ANN recall too low: {recalls}"
+    for qid, res in by_q.items():
+        assert len(res) <= 3
