@@ -1430,3 +1430,298 @@ FROM geo GROUP BY conv_id, turn_idx
 
 EXT_QUERIES["adlib_xml"] = q_adlib_xml
 EXT_ORACLES["adlib_xml"] = ORACLE_ADLIB_XML
+
+
+# ---------------------------------------------------------------------------
+# PSM modes (B6, marie/boxes/box_processor.py:129-162): the same layout
+# payload extracted under every page-segmentation mode, oracled line by line.
+# The DuckDB twin replays the payload's word grid (x, line, md5-scramble key)
+# and each mode's assembly rule: sparse/multiline cluster per line band,
+# word/line collapse to one x-sorted line, raw_line keeps input order.
+# ---------------------------------------------------------------------------
+
+_LAYOUT_GRID_CTES = f"""
+d AS (
+  SELECT doc_id,
+         'conv-' || lpad(CAST(doc_id % {CONV_MOD} AS VARCHAR), 6, '0') conv_id,
+         CAST(doc_id // {CONV_MOD} AS INTEGER) turn_idx,
+         {_TOKENS_SQL.format(e='text')} w
+  FROM documents WHERE doc_id % 100 >= 40 AND doc_id % 100 < 65
+),
+lines AS (
+  SELECT doc_id, conv_id, turn_idx,
+         unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) ln, w
+  FROM d
+),
+lw AS (
+  SELECT doc_id, conv_id, turn_idx, ln,
+         list_transform(range(len(lws)), j -> {{'t': lws[j+1], 'j': j}}) pairs
+  FROM (SELECT *, w[ln*8+1 : ln*8+8] lws FROM lines)
+),
+words AS (
+  SELECT doc_id, conv_id, turn_idx, ln, unnest(pairs) p FROM lw
+),
+pos AS (
+  SELECT doc_id, conv_id, turn_idx, ln, p.t wt, p.j j,
+         9 * (COALESCE(SUM(len(p.t) + 1) OVER (PARTITION BY doc_id, ln
+              ORDER BY p.j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0)) x
+  FROM words
+),
+gi AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ln, j) - 1 g
+  FROM pos
+),
+keyed AS (
+  SELECT *, md5(CAST(doc_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)) k
+  FROM gi
+)"""
+
+
+def _is_layout_turn():
+    """JVM-side pre-filter: reconstruct doc_id from (conv_id, turn_idx) and
+    test the payload-kind bucket — prunes 75% of turns before the 5-mode
+    extraction fan-out (replicate=1 derivation only)."""
+    doc_id = (
+        F.col("turn_idx").cast("long") * CONV_MOD
+        + F.substring("conv_id", 6, 6).cast("long")
+    )
+    return (doc_id % 100 >= 40) & (doc_id % 100 < 65)
+
+
+def q_layout_psm_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extractors.layout import PSM_MODES
+
+    t = transcripts_from_docs(spark, sf_dir).filter(_is_layout_turn())
+    parts = []
+    for m in PSM_MODES:
+        e = extract_turns(t, with_structs=True, mode=m).filter(
+            F.col("payload_kind") == "layout"
+        )
+        parts.append(
+            e.select(
+                "conv_id",
+                "turn_idx",
+                F.lit(m).alias("mode"),
+                F.col("extracted_text").alias("psm_text"),
+                F.size("lines").cast("int").alias("n_lines"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+ORACLE_LAYOUT_PSM_MODES = f"""
+WITH {_LAYOUT_GRID_CTES},
+line_txt AS (SELECT doc_id, conv_id, turn_idx, ln,
+               string_agg(wt, ' ' ORDER BY x, k) lt
+             FROM keyed GROUP BY 1, 2, 3, 4),
+banded AS (SELECT conv_id, turn_idx,
+             string_agg(lt, chr(10) ORDER BY ln) ptext,
+             CAST(COUNT(*) AS INTEGER) nl
+           FROM line_txt GROUP BY 1, 2),
+oneline AS (SELECT conv_id, turn_idx,
+              string_agg(wt, ' ' ORDER BY x, k) ptext
+            FROM keyed GROUP BY 1, 2),
+rawline AS (SELECT conv_id, turn_idx,
+              string_agg(wt, ' ' ORDER BY k) ptext
+            FROM keyed GROUP BY 1, 2)
+SELECT conv_id, turn_idx, 'sparse' AS mode, ptext AS psm_text, nl AS n_lines
+FROM banded
+UNION ALL
+SELECT conv_id, turn_idx, 'multiline', ptext, nl FROM banded
+UNION ALL
+SELECT conv_id, turn_idx, 'word', ptext, CAST(1 AS INTEGER) FROM oneline
+UNION ALL
+SELECT conv_id, turn_idx, 'line', ptext, CAST(1 AS INTEGER) FROM oneline
+UNION ALL
+SELECT conv_id, turn_idx, 'raw_line', ptext, CAST(1 AS INTEGER) FROM rawline
+"""
+
+EXT_QUERIES["layout_psm_modes"] = q_layout_psm_modes
+EXT_ORACLES["layout_psm_modes"] = ORACLE_LAYOUT_PSM_MODES
+
+
+# ---------------------------------------------------------------------------
+# Char-grid renderer (W8, marie/renderer/text_renderer.py:44-143): the real
+# Python renderer runs per turn over the layout structs; the oracle replays
+# column binning (np.linspace bins embedded as literals — constants, like the
+# LSH hyperplanes), sequential string insertion in word_index order, and
+# baseline cell-row gaps.
+# ---------------------------------------------------------------------------
+
+_GRID_PAGE_W = 1024
+
+
+def _grid_bins() -> list[int]:
+    import numpy as np
+    from math import ceil
+
+    from .extractors.grid_render import CHAR_WIDTH
+
+    cols = ceil(_GRID_PAGE_W // CHAR_WIDTH)
+    return np.linspace(0, _GRID_PAGE_W, max(cols, 1)).astype(np.int32).tolist()
+
+
+def q_grid_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .extractors.grid_render import render_grid_text
+
+    t = transcripts_from_docs(spark, sf_dir).filter(_is_layout_turn())
+    e = extract_turns(t, with_structs=True).filter(
+        F.col("payload_kind") == "layout"
+    )
+
+    def render(batches):
+        for pdf in batches:
+            texts = []
+            for words, lines in zip(pdf["words"], pdf["lines"]):
+                ws = [
+                    {
+                        "id": w["id"], "text": w["text"],
+                        "box": list(w["box"]), "word_index": w["word_index"],
+                    }
+                    for w in words
+                ]
+                ls = [
+                    {"bbox": list(l["bbox"]), "wordids": list(l["wordids"])}
+                    for l in lines
+                ]
+                texts.append(render_grid_text(ws, ls, _GRID_PAGE_W))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "grid_text": texts,
+                }
+            )
+
+    return e.select("conv_id", "turn_idx", "words", "lines").mapInPandas(
+        render, "conv_id string, turn_idx int, grid_text string"
+    )
+
+
+def _grid_render_oracle_sql() -> str:
+    bins = "[" + ",".join(str(b) for b in _grid_bins()) + "]"
+    cols = len(_grid_bins())
+    return f"""
+WITH {_LAYOUT_GRID_CTES},
+wc AS (SELECT doc_id, conv_id, turn_idx, ln, g,
+         len(list_filter({bins}, b -> b < least(greatest(x, 0), {_GRID_PAGE_W - 1}))) col,
+         wt
+       FROM keyed),
+wl AS (SELECT doc_id, conv_id, turn_idx, ln,
+         list(lpad(CAST(col AS VARCHAR), 6, '0') || wt ORDER BY g) items
+       FROM wc GROUP BY 1, 2, 3, 4),
+buf AS (SELECT *, rtrim(list_reduce(
+          list_prepend(repeat(' ', {cols}), items),
+          (a, s) -> substr(a, 1, CAST(substr(s, 1, 6) AS INTEGER)) ||
+                    substr(s, 7) ||
+                    substr(a, CAST(substr(s, 1, 6) AS INTEGER) + 1))) line_buf
+       FROM wl),
+g2 AS (SELECT *, (ln * 20 + 16) // 16 cell_y,
+         lag((ln * 20 + 16) // 16, 1, CAST(1 AS BIGINT))
+           OVER (PARTITION BY doc_id ORDER BY ln) prev_y
+       FROM buf),
+pieces AS (SELECT *, repeat(chr(10), CAST(greatest(cell_y - prev_y - 1, 0) AS INTEGER))
+             || line_buf piece
+           FROM g2)
+SELECT conv_id, turn_idx, string_agg(piece, chr(10) ORDER BY ln) AS grid_text
+FROM pieces GROUP BY conv_id, turn_idx
+"""
+
+
+ORACLE_GRID_RENDER = _grid_render_oracle_sql()
+
+EXT_QUERIES["grid_render"] = q_grid_render
+EXT_ORACLES["grid_render"] = ORACLE_GRID_RENDER
+
+
+# ---------------------------------------------------------------------------
+# Resume-protocol invariant (S4/Q4-Q7, plans/lineage.py): run the checkpoint
+# job with an injected mid-run kill, resume it, then prove to the driver that
+# (a) every committed bucket's partition_hash recomputed from the WRITTEN
+# results equals the lineage row, and (b) the total turn/span counts equal
+# the source derivation — the part DuckDB can replay exactly.
+# ---------------------------------------------------------------------------
+
+def q_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .plans import lineage as L
+
+    t = transcripts_from_docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="lineage_oracle_")
+    try:
+        try:
+            L.run_extraction_job(
+                spark, t, out, n_buckets=8, buckets_per_commit=2,
+                fail_after_commits=1,
+            )
+        except L.SimulatedFailure:
+            pass
+        L.run_extraction_job(spark, t, out, n_buckets=8, buckets_per_commit=2)
+
+        lin = (
+            L.read_lineage(spark, out)
+            .filter(F.col("status") == L.STATUS_COMPLETED)
+            .select("bucket", "partition_hash", "turn_count", "span_count")
+            .dropDuplicates(["bucket"])
+        )
+        recomputed = (
+            L.read_results(spark, out)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rc_turns"),
+                F.sum("span_count").alias("rc_spans"),
+                F.format_string(
+                    "%x",
+                    F.bit_xor(
+                        F.xxhash64(
+                            F.col("conv_id"), F.col("turn_idx"),
+                            F.col("extracted_text"),
+                        )
+                    ),
+                ).alias("rc_hash"),
+            )
+        )
+        j = lin.join(recomputed, "bucket", "full_outer")
+        row = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("rc_turns")).alias("turns"),
+            F.sum(F.col("rc_spans")).alias("spans"),
+            F.min(
+                (F.col("partition_hash") == F.col("rc_hash"))
+                & (F.col("turn_count") == F.col("rc_turns"))
+                & (F.col("span_count") == F.col("rc_spans"))
+            ).alias("ok"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    int(row["turns"]),
+                    int(row["spans"]),
+                    bool(row["ok"]),
+                )
+            ],
+            "total_turns long, total_spans long, all_buckets_verified boolean",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLE_LINEAGE_ROUNDTRIP = (
+    _ORACLE_DERIVE_REF
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_turns,
+       CAST(SUM(span_count) AS BIGINT) AS total_spans,
+       TRUE AS all_buckets_verified
+FROM g
+"""
+)
+
+EXT_QUERIES["lineage_roundtrip"] = q_lineage_roundtrip
+EXT_ORACLES["lineage_roundtrip"] = ORACLE_LINEAGE_ROUNDTRIP
