@@ -1,0 +1,190 @@
+"""Pluggable model-inference stage (SURVEY §2.9 N1/N3, §2.3 J6).
+
+Rebuilds the reference's transformer classification stage shape — batch
+iterator over documents feeding a text-classification pipeline that tags
+each document with ``{label, score, details}``
+(``marie/components/document_classifier/transformers.py:33-360``, batch loop
+:200-283) — as an Arrow-batched ``mapInPandas`` stage: ``predict_fn`` takes a
+list of texts and returns one ``{label, score, raw, total}`` dict per text.
+On a GPU cluster ``predict_fn`` is a real HF pipeline; here the default is
+:class:`StubLinearClassifier`, a deterministic integer-arithmetic model whose
+scores replay exactly in DuckDB SQL (the oracle twin) — the API hole closes
+without shipping model weights.
+
+``route_subclassifiers`` is the sub-classifier routing registry
+(``marie/pipe/base_pipeline.py:184-216``): per registry entry, rows whose
+primary classification matches the entry's exact/regex filter are re-scored
+by that entry's stage; matches from all entries union.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+from collections.abc import Iterator
+from functools import lru_cache
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import HASH_P
+
+VOCAB_BUCKETS = 64
+WEIGHT_MOD = 1000
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def portable_hash31_py(s: str) -> int:
+    """Python twin of functions.columns.portable_hash31 (md5 hex[:15] mod P)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % HASH_P
+
+
+def _ws_tokens_py(text: str) -> list[str]:
+    return _WS.sub(" ", text.strip()).split(" ")
+
+
+def stub_weight(label: str, bucket: int) -> int:
+    """Pinned pseudo-weight for (label, vocab bucket) — pure function of the
+    pair, so Spark, Python and DuckDB agree without shipping a weight file."""
+    return portable_hash31_py(f"{label}:{bucket}") % WEIGHT_MOD
+
+
+@lru_cache(maxsize=1 << 20)
+def _token_bucket(tok: str) -> int:
+    return portable_hash31_py(tok) % VOCAB_BUCKETS
+
+
+class StubLinearClassifier:
+    """Deterministic text classifier: bag-of-hashed-tokens dotted with pinned
+    per-label weights; winner = argmax raw score (ties → label asc);
+    score = raw/total rounded 6 (integer sums → cross-engine-exact)."""
+
+    def __init__(self, labels: list[str]):
+        if not labels:
+            raise ValueError("labels must be non-empty")
+        self.labels = list(labels)
+        self._w = {
+            lab: [stub_weight(lab, b) for b in range(VOCAB_BUCKETS)]
+            for lab in self.labels
+        }
+
+    def __call__(self, texts: list[str]) -> list[dict[str, Any]]:
+        out = []
+        for t in texts:
+            counts = Counter(
+                _token_bucket(tok) for tok in _ws_tokens_py(t or "")
+            )
+            raws = {
+                lab: sum(n * w[b] for b, n in counts.items())
+                for lab, w in self._w.items()
+            }
+            total = sum(raws.values())
+            # deterministic argmax: highest raw, then label asc
+            best = max(raws.values())
+            label = min(lab for lab in self.labels if raws[lab] == best)
+            score = (
+                math.floor(raws[label] / total * 1_000_000 + 0.5) / 1_000_000
+                if total
+                else 0.0
+            )
+            out.append(
+                {"label": label, "score": score, "raw": raws[label], "total": total}
+            )
+        return out
+
+
+class TextClassifierStage:
+    """The pluggable inference stage. ``transform`` appends
+    (label, score, raw_best, raw_total) to the passthrough columns via one
+    Arrow-batched ``mapInPandas`` pass — the Spark twin of the reference's
+    ``batch_iterator`` + pipeline call (transformers.py:196-215)."""
+
+    def __init__(
+        self,
+        labels: list[str],
+        predict_fn: Callable[[list[str]], list[dict[str, Any]]] | None = None,
+    ):
+        self.labels = list(labels)
+        self.predict_fn = predict_fn or StubLinearClassifier(labels)
+
+    def transform(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        passthrough: tuple[str, ...] = ("doc_id",),
+    ) -> DataFrame:
+        predict = self.predict_fn
+        keep = list(passthrough)
+        in_schema = df.select(*keep, text_col).schema
+        out_ddl = (
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema if f.name != text_col)
+            + ", label string, score double, raw_best long, raw_total long"
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                preds = predict(list(pdf[text_col].fillna("")))
+                res = pdf[keep].copy()
+                res["label"] = [p["label"] for p in preds]
+                res["score"] = [p["score"] for p in preds]
+                res["raw_best"] = pd.Series(
+                    [p["raw"] for p in preds], dtype="int64"
+                )
+                res["raw_total"] = pd.Series(
+                    [p["total"] for p in preds], dtype="int64"
+                )
+                yield res
+
+        return df.select(*keep, text_col).mapInPandas(run, out_ddl)
+
+
+def route_subclassifiers(
+    classified: DataFrame,
+    source: DataFrame,
+    registry: dict[str, dict[str, Any]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-classifier routing (base_pipeline.py:184-216): for each registry
+    entry ``{name: {"filter": {"type": "exact"|"regex", "pattern": p},
+    "stage": TextClassifierStage}}``, rows of ``classified`` whose ``label``
+    matches are re-scored by the entry's stage over ``source``'s text.
+
+    Output: (id_col, primary_label, classifier, sub_label, sub_score) — one
+    row per (row, matching registry entry); rows matching no entry are
+    dropped, as in the reference (no sub_classifier tag is attached).
+    """
+    from functools import reduce
+
+    outs = []
+    for name, spec in registry.items():
+        filt = spec["filter"]
+        if filt["type"] == "exact":
+            cond = F.col("label") == filt["pattern"]
+        elif filt["type"] == "regex":
+            cond = F.col("label").rlike(filt["pattern"])
+        else:
+            raise ValueError(f"unknown filter type {filt['type']!r}")
+        matched = classified.filter(cond).select(
+            id_col, F.col("label").alias("primary_label")
+        )
+        subset = matched.join(source.select(id_col, text_col), id_col)
+        sub = spec["stage"].transform(
+            subset, text_col=text_col, passthrough=(id_col, "primary_label")
+        )
+        outs.append(
+            sub.select(
+                id_col,
+                "primary_label",
+                F.lit(name).alias("classifier"),
+                F.col("label").alias("sub_label"),
+                F.col("score").alias("sub_score"),
+            )
+        )
+    if not outs:
+        raise ValueError("empty registry")
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -1725,3 +1725,226 @@ FROM g
 
 EXT_QUERIES["lineage_roundtrip"] = q_lineage_roundtrip
 EXT_ORACLES["lineage_roundtrip"] = ORACLE_LINEAGE_ROUNDTRIP
+
+
+# ---------------------------------------------------------------------------
+# Model-inference stage (N1/N3) + sub-classifier routing (J6): the
+# deterministic stub model's integer arithmetic replays exactly in SQL, so
+# the full batch-UDF inference path — tokenize → hashed vocab bucket →
+# per-label weight dot → argmax + normalized score — is oracle-gated.
+# ---------------------------------------------------------------------------
+
+_CLS_LABELS = ("invoice", "letter", "report")
+_SUB_REGISTRY_SQLSPEC = (
+    ("sub_invoice", "invoice", ("paid", "unpaid")),
+    ("sub_report", "report", ("annual", "quarterly")),
+)
+
+
+def _stub_argmax_sql(labels, docs_rel: str) -> str:
+    """Argmax-per-doc SELECT replaying StubLinearClassifier over a relation
+    with (doc_id, text)."""
+    from .operators.inference import VOCAB_BUCKETS, WEIGHT_MOD
+
+    h31tk = portable_hash31_sql("tk")
+    h31w = portable_hash31_sql("l || ':' || CAST(b AS VARCHAR)")
+    toks = _TOKENS_SQL.format(e="text")
+    labs = ", ".join(f"'{l}'" for l in labels)
+    return f"""(
+  SELECT doc_id, l AS label,
+         (floor(raw / tot * 1000000.0 + 0.5) / 1000000.0) AS score,
+         CAST(raw AS BIGINT) AS raw_best, CAST(tot AS BIGINT) AS raw_total
+  FROM (SELECT doc_id, l, raw, SUM(raw) OVER (PARTITION BY doc_id) tot,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY raw DESC, l ASC) rn
+        FROM (SELECT tb.doc_id, wt.l, SUM(wt.w) raw
+              FROM (SELECT t.doc_id, db.b
+                    FROM (SELECT doc_id, unnest({toks}) tk FROM {docs_rel}) t
+                    JOIN (SELECT tk, ({h31tk}) % {VOCAB_BUCKETS} b
+                          FROM (SELECT DISTINCT tk FROM
+                                (SELECT doc_id, unnest({toks}) tk
+                                 FROM {docs_rel}))) db
+                      USING (tk)) tb
+              JOIN (SELECT l, b, ({h31w}) % {WEIGHT_MOD} w
+                    FROM (SELECT unnest([{labs}]) l)
+                    CROSS JOIN (SELECT unnest(range({VOCAB_BUCKETS})) b)) wt
+                USING (b)
+              GROUP BY 1, 2))
+  WHERE rn = 1
+)"""
+
+
+def q_classify_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.inference import TextClassifierStage
+
+    stage = TextClassifierStage(list(_CLS_LABELS))
+    return stage.transform(_docs(spark, sf_dir))
+
+
+ORACLE_CLASSIFY_STUB = (
+    "SELECT * FROM " + _stub_argmax_sql(_CLS_LABELS, "documents")
+)
+
+
+def q_classify_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.inference import TextClassifierStage, route_subclassifiers
+
+    docs = _docs(spark, sf_dir)
+    primary = TextClassifierStage(list(_CLS_LABELS)).transform(docs)
+    registry = {
+        name: {
+            "filter": {"type": "exact", "pattern": pat},
+            "stage": TextClassifierStage(list(sub_labels)),
+        }
+        for name, pat, sub_labels in _SUB_REGISTRY_SQLSPEC
+    }
+    return route_subclassifiers(primary, docs, registry)
+
+
+def _classify_routed_oracle_sql() -> str:
+    prim = _stub_argmax_sql(_CLS_LABELS, "documents")
+    parts = []
+    for name, pat, sub_labels in _SUB_REGISTRY_SQLSPEC:
+        sub = _stub_argmax_sql(sub_labels, f"r_{name}")
+        parts.append(
+            f"""r_{name} AS (
+  SELECT d.doc_id, d.text, p.label primary_label
+  FROM documents d JOIN prim p USING (doc_id) WHERE p.label = '{pat}'),
+s_{name} AS (SELECT * FROM {sub})"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT r.doc_id, r.primary_label, '{name}' AS classifier,
+       s.label AS sub_label, s.score AS sub_score
+FROM r_{name} r JOIN s_{name} s USING (doc_id)"""
+        for name, _, _ in _SUB_REGISTRY_SQLSPEC
+    )
+    return f"WITH prim AS (SELECT * FROM {prim}),\n" + ",\n".join(parts) + "\n" + selects
+
+
+ORACLE_CLASSIFY_ROUTED = _classify_routed_oracle_sql()
+
+EXT_QUERIES["classify_stub"] = q_classify_stub
+EXT_QUERIES["classify_routed"] = q_classify_routed
+EXT_ORACLES["classify_stub"] = ORACLE_CLASSIFY_STUB
+EXT_ORACLES["classify_routed"] = ORACLE_CLASSIFY_ROUTED
+
+
+# ---------------------------------------------------------------------------
+# Composite entities (N8): multi-line labeled tokens → entity spans →
+# line-gap grouping, fully replayed in SQL.
+# ---------------------------------------------------------------------------
+
+_COMPOSITE_CFG = [{"name": "contact", "entities": ["name", "addr"]}]
+_COMPOSITE_MAX_LINE_DIFF = 1
+
+
+def _labeled_tokens_ml(spark, sf_dir):
+    """Three-line labeled token grid: first 24 tokens, 8 per line; labels
+    'name' at j∈{0,2} (line 1), 'addr' at j=16 (line 3), else 'O' — spans on
+    lines 1 and 3 so the max_line_diff=1 gap splits composites."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.slice(ws_tokens(F.col("text")), 1, 24)).alias("j", "tok"),
+    ).withColumn("line_no", (F.floor(F.col("j") / 8) + 1).cast("int"))
+    w = (
+        Window.partitionBy("doc_id", "line_no")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.select(
+        "doc_id",
+        "line_no",
+        F.col("j").cast("int").alias("token_idx"),
+        F.when(F.col("j").isin(0, 2), "name")
+        .when(F.col("j") == 16, "addr")
+        .otherwise("O")
+        .alias("label"),
+        F.col("tok").alias("text"),
+        (9 * F.coalesce(F.sum(F.length("tok") + 1).over(w), F.lit(0)))
+        .cast("int")
+        .alias("x"),
+        (20 * (F.col("line_no") - 1)).cast("int").alias("y"),
+        (9 * F.length("tok")).cast("int").alias("w"),
+        F.lit(16).alias("h"),
+        ((F.col("j") + 1) / 10.0).alias("score"),
+    )
+
+
+_LABELED_TOKENS_ML_SQL = f"""
+  SELECT doc_id, CAST(p.j // 8 + 1 AS INTEGER) line_no,
+         CAST(p.j AS INTEGER) token_idx,
+         CASE WHEN p.j IN (0, 2) THEN 'name'
+              WHEN p.j = 16 THEN 'addr' ELSE 'O' END "label",
+         p.t AS text,
+         CAST(9 * COALESCE(SUM(len(p.t) + 1) OVER (PARTITION BY doc_id, p.j // 8
+              ORDER BY p.j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS INTEGER) x,
+         CAST(20 * (p.j // 8) AS INTEGER) y,
+         CAST(9 * len(p.t) AS INTEGER) w, 16 h,
+         (p.j + 1) / 10.0 score
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(w24)), j -> {{'t': w24[j+1], 'j': j}})) p
+    FROM (SELECT doc_id, ({_TOKENS_SQL.format(e='text')})[1:24] w24 FROM documents)
+  )
+"""
+
+
+def q_composite_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.composite import group_composite_entities
+    from .operators.kv import aggregate_entity_spans
+
+    spans = aggregate_entity_spans(_labeled_tokens_ml(spark, sf_dir))
+    return group_composite_entities(
+        spans, _COMPOSITE_CFG, max_line_diff=_COMPOSITE_MAX_LINE_DIFF
+    )
+
+
+ORACLE_COMPOSITE_ENTITIES = f"""
+WITH tok AS ({_LABELED_TOKENS_ML_SQL}),
+flag AS (
+  SELECT *, CASE WHEN lag("label") OVER w IS NULL
+                 OR lag("label") OVER w != "label" THEN 1 ELSE 0 END chg
+  FROM tok WINDOW w AS (PARTITION BY doc_id, line_no ORDER BY token_idx)
+),
+runs AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY doc_id, line_no
+            ORDER BY token_idx ROWS UNBOUNDED PRECEDING) AS INTEGER) span_id
+  FROM flag
+),
+spans AS (
+  SELECT doc_id, line_no, span_id, "label",
+         string_agg(text, ' ' ORDER BY token_idx) span_text,
+         MIN(x) x, MIN(y) y,
+         MAX(x + w) - MIN(x) w, MAX(y + h) - MIN(y) h,
+         (floor(AVG(score) * 1000000.0 + 0.5) / 1000000.0) score
+  FROM runs WHERE "label" != 'O'
+  GROUP BY doc_id, line_no, span_id, "label"
+),
+f AS (SELECT * FROM spans WHERE "label" IN ('name', 'addr')),
+gflag AS (
+  SELECT *, CASE WHEN lag(line_no) OVER w IS NULL
+                 OR line_no - lag(line_no) OVER w > {_COMPOSITE_MAX_LINE_DIFF}
+            THEN 1 ELSE 0 END nw
+  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY line_no, x, "label")
+),
+grp AS (
+  SELECT *, CAST(SUM(nw) OVER (PARTITION BY doc_id
+            ORDER BY line_no, x, "label" ROWS UNBOUNDED PRECEDING)
+            AS INTEGER) group_id
+  FROM gflag
+)
+SELECT doc_id, 'contact' AS entity_name, group_id,
+       string_agg(span_text, ' ' ORDER BY line_no, x, "label") AS text,
+       array_to_string(list_sort(list_distinct(list("label"))), ',') AS labels,
+       MIN(x) x, MIN(y) y,
+       MAX(x + w) - MIN(x) w, MAX(y + h) - MIN(y) h,
+       CAST(COUNT(*) AS BIGINT) n_spans, MAX(score) score
+FROM grp GROUP BY doc_id, group_id
+"""
+
+EXT_QUERIES["composite_entities"] = q_composite_entities
+EXT_ORACLES["composite_entities"] = ORACLE_COMPOSITE_ENTITIES
