@@ -257,6 +257,104 @@ def fast_band_lines(boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
     return lines, line_no
 
 
+def fast_band_lines_py(boxes: list[list[int]]) -> tuple[list, list[int]] | None:
+    """Pure-Python twin of :func:`fast_band_lines` for small word counts.
+
+    Semantics are identical (same preconditions, same identical-box
+    fallback); for the typical 10-100-word payload the per-call numpy
+    dispatch overhead dominates the actual work, so plain loops are ~5×
+    faster. Returns (line_boxes, line_no) or None for the numpy/general
+    fallback.
+    """
+    n = len(boxes)
+    if n == 0:
+        return None
+    seen = set()
+    for b in boxes:
+        if b[3] <= 0:
+            return None
+        seen.add((b[0], b[1], b[2], b[3]))
+    if len(seen) != n:
+        return None
+
+    order = sorted(range(n), key=lambda i: boxes[i][1])  # stable y0 sort
+    comp = [0] * n
+    first = boxes[order[0]]
+    run_max = first[1] + first[3]
+    c = 0
+    # per-component aggregates built in the same scan
+    aggs = [[first[1], first[1], run_max, run_max, first[3], first[0],
+             first[0] + first[2], 1]]
+    # [min_y0, max_y0, min_y1, max_y1, max_h, min_x, max_x1, size]
+    for k in range(1, n):
+        b = boxes[order[k]]
+        y0, y1 = b[1], b[1] + b[3]
+        if y0 < run_max:
+            comp[k] = c
+            if y1 > run_max:
+                run_max = y1
+            a = aggs[c]
+            if y0 < a[0]:
+                a[0] = y0
+            if y0 > a[1]:
+                a[1] = y0
+            if y1 < a[2]:
+                a[2] = y1
+            if y1 > a[3]:
+                a[3] = y1
+            if b[3] > a[4]:
+                a[4] = b[3]
+            if b[0] < a[5]:
+                a[5] = b[0]
+            if b[0] + b[2] > a[6]:
+                a[6] = b[0] + b[2]
+            a[7] += 1
+        else:
+            c += 1
+            comp[k] = c
+            run_max = y1
+            aggs.append([y0, y0, y1, y1, b[3], b[0], b[0] + b[2], 1])
+
+    iou0 = IOU_LADDER[0]
+    prev_span_end = None
+    for a in aggs:
+        if a[7] > 1:
+            inter_lb = a[2] - a[1]
+            if inter_lb <= 0:
+                return None
+            if inter_lb / (2 * a[4] - inter_lb) < iou0:
+                return None
+        env_end = a[0] + a[4]
+        span_end = env_end if env_end > a[3] else a[3]
+        if prev_span_end is not None and a[0] < prev_span_end:
+            return None
+        prev_span_end = span_end
+
+    lines = [[a[5], a[0], a[6] - a[5], a[4]] for a in aggs]
+
+    line_no = [0] * n
+    bottoms = None
+    for k in range(n):
+        i = order[k]
+        cno = comp[k]
+        b = boxes[i]
+        ln = lines[cno]
+        if b[0] == ln[0] and b[1] == ln[1] and b[2] == ln[2] and b[3] == ln[3]:
+            # identical-box exclusion → nearest line-bottom fallback
+            if bottoms is None:
+                bottoms = [l[1] + l[3] for l in lines]
+            cy = b[1] + b[3] // 2
+            best, bestd = 0, abs(cy - bottoms[0])
+            for j in range(1, len(bottoms)):
+                d = abs(cy - bottoms[j])
+                if d < bestd:
+                    best, bestd = j, d
+            line_no[i] = best + 1
+        else:
+            line_no[i] = cno + 1
+    return lines, line_no
+
+
 def cluster_lines(boxes) -> np.ndarray:
     """Cluster word boxes into line boxes.
 

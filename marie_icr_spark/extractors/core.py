@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from .html import extract_html, looks_like_html
-from .layout import extract_layout, parse_layout_payload
+from .layout import extract_layout, extract_layout_text, parse_layout_payload
 from .markdown import extract_markdown, looks_like_markdown
 from .textnorm import normalize_plain, span_count
 
@@ -38,17 +38,17 @@ class TurnExtraction:
     lines: list[dict[str, Any]] = field(default_factory=list)
 
 
-def _sniff(text: str) -> tuple[str, list | None]:
-    """Classify a turn payload; returns (kind, parsed_layout_words|None).
+def _sniff(text: str) -> tuple[str, tuple[list, list] | None]:
+    """Classify a turn payload; returns (kind, parsed (texts, boxes)|None).
     Order matters and is pinned: empty → layout(JSON) → html → markdown →
     plain."""
     if text is None or not text.strip():
         return "empty", None
     s = text.lstrip()
     if s[0] in "[{":
-        words = parse_layout_payload(text)
-        if words is not None:
-            return "layout", words
+        parsed = parse_layout_payload(text)
+        if parsed is not None:
+            return "layout", parsed
     if looks_like_html(text):
         return "html", None
     if looks_like_markdown(text):
@@ -60,16 +60,24 @@ def sniff_payload_kind(text: str) -> str:
     return _sniff(text)[0]
 
 
-def extract_turn(text: str | None, mode: str = "sparse") -> TurnExtraction:
+def extract_turn(
+    text: str | None, mode: str = "sparse", with_structs: bool = True
+) -> TurnExtraction:
     """Extract the main content of one turn payload. Never raises on
     malformed input (fail-open contract, marie/pipe/extract_pipeline.py:143-154).
-    ``mode`` is the PSM contract for layout payloads (PSM_MODES)."""
-    kind, layout_words = _sniff(text or "")
+    ``mode`` is the PSM contract for layout payloads (PSM_MODES);
+    ``with_structs=False`` takes the struct-free layout path (identical
+    text, no word/line structs built)."""
+    kind, parsed = _sniff(text or "")
     if kind == "empty":
         return TurnExtraction("", 0, "empty")
     assert text is not None
     if kind == "layout":
-        res = extract_layout(layout_words or [], mode=mode)
+        texts, boxes = parsed if parsed is not None else ([], [])
+        if not with_structs:
+            out = extract_layout_text(texts, boxes, mode=mode)
+            return TurnExtraction(out, span_count(out), "layout")
+        res = extract_layout(texts, boxes, mode=mode)
         return TurnExtraction(
             res["text"], span_count(res["text"]), "layout",
             words=res["words"], lines=res["lines"],

@@ -54,6 +54,10 @@ _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]*))?"""
 )
 _TAG_OPEN_RE = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)")
+# shared empty attr dict for text/close events (hot path: one dict alloc per
+# token adds up at 10^12 turns; consumers never mutate it)
+_NO_ATTRS: dict[str, str] = {}
+_RAW_CLOSE_RES: dict[str, re.Pattern] = {}
 
 
 def looks_like_html(text: str) -> bool:
@@ -72,10 +76,10 @@ def _tokenize(src: str) -> Iterator[tuple[str, str, dict[str, str]]]:
     while i < n:
         lt = src.find("<", i)
         if lt == -1:
-            yield ("text", src[i:], {})
+            yield ("text", src[i:], _NO_ATTRS)
             break
         if lt > i:
-            yield ("text", src[i:lt], {})
+            yield ("text", src[i:lt], _NO_ATTRS)
         nxt = src[lt + 1] if lt + 1 < n else ""
         if nxt in "!?":  # comments / doctype / processing instructions
             if src.startswith("<!--", lt):
@@ -87,7 +91,7 @@ def _tokenize(src: str) -> Iterator[tuple[str, str, dict[str, str]]]:
             continue
         m = _TAG_OPEN_RE.match(src, lt)
         if not m:
-            yield ("text", "<", {})
+            yield ("text", "<", _NO_ATTRS)
             i = lt + 1
             continue
         closing = m.group(1) == "/"
@@ -95,12 +99,17 @@ def _tokenize(src: str) -> Iterator[tuple[str, str, dict[str, str]]]:
         end = src.find(">", lt)
         if end == -1:
             break  # truncated tag at EOF — drop it (fail-open)
+        if closing:
+            i = end + 1
+            yield ("close", tag, _NO_ATTRS)
+            continue
         inner = src[m.end() : end]
         selfclose = inner.rstrip().endswith("/")
-        attrs: dict[str, str] = {}
+        attrs = _NO_ATTRS
         # only class/id feed the boilerplate heuristic — skip attr parsing
         # unless they can be present (hot-path: most tags have neither)
-        if not closing and inner and ("class" in inner or "id" in inner):
+        if inner and ("class" in inner or "id" in inner):
+            attrs = {}
             for am in _ATTR_RE.finditer(inner.rstrip("/").strip()):
                 name = am.group(1).lower()
                 val = am.group(2) or ""
@@ -108,11 +117,13 @@ def _tokenize(src: str) -> Iterator[tuple[str, str, dict[str, str]]]:
                     val = val[1:-1]
                 attrs[name] = val
         i = end + 1
-        if closing:
-            yield ("close", tag, {})
-            continue
         if tag in RAW_TEXT_TAGS and not selfclose:
-            close_re = re.compile(rf"<\s*/\s*{re.escape(tag)}\s*>", re.IGNORECASE)
+            close_re = _RAW_CLOSE_RES.get(tag)
+            if close_re is None:
+                close_re = re.compile(
+                    rf"<\s*/\s*{re.escape(tag)}\s*>", re.IGNORECASE
+                )
+                _RAW_CLOSE_RES[tag] = close_re
             cm = close_re.search(src, i)
             i = n if cm is None else cm.end()
             continue

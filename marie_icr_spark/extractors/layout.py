@@ -34,7 +34,13 @@ except ImportError:  # pragma: no cover
 
 import numpy as np
 
-from .boxmath import assign_lines, cluster_lines, envelope, fast_band_lines
+from .boxmath import (
+    assign_lines,
+    cluster_lines,
+    envelope,
+    fast_band_lines,
+    fast_band_lines_py,
+)
 from .textnorm import join_lines, join_words
 
 # Word confidence for already-textual payloads: there is no recognizer, so
@@ -44,13 +50,13 @@ WORD_CONFIDENCE = 1.0
 _WORD_CONF_R3 = round(WORD_CONFIDENCE, 3)
 
 
-def parse_layout_payload(text: str) -> list[dict[str, Any]] | None:
+def parse_layout_payload(text: str) -> tuple[list[str], list[list[int]]] | None:
     """Parse a layout JSON payload; None if it isn't one.
 
     Accepts either a bare list of word dicts or ``{"words": [...]}``; each
     word needs a string ``text`` and a 4-element numeric ``box`` (region
     validation contract, ``marie/ocr/ocr_engine.py:249-256`` — required keys,
-    ints coerced).
+    ints coerced). Returns parallel (texts, boxes) lists.
     """
     s = text.strip()
     if not s or s[0] not in "[{":
@@ -63,22 +69,26 @@ def parse_layout_payload(text: str) -> list[dict[str, Any]] | None:
         data = data.get("words")
     if not isinstance(data, list):
         return None
-    words = []
-    for item in data:
-        if not isinstance(item, dict):
+    # fast path: well-formed payloads (the overwhelmingly common case) —
+    # bulk-extract then validate; fall to the per-item checks on any miss
+    try:
+        texts = [item["text"] for item in data]
+        boxes = [item["box"] for item in data]
+    except (TypeError, KeyError):
+        return None
+    for i, (txt, box) in enumerate(zip(texts, boxes)):
+        if type(txt) is not str or type(box) is not list or len(box) != 4:
             return None
-        txt = item.get("text")
-        box = item.get("box")
-        if not isinstance(txt, str) or not isinstance(box, (list, tuple)):
-            return None
-        if len(box) != 4:
-            return None
-        try:
-            box = [int(v) for v in box]
-        except (TypeError, ValueError):
-            return None
-        words.append({"text": txt, "box": box})
-    return words
+        v0, v1, v2, v3 = box
+        if not (
+            type(v0) is int and type(v1) is int
+            and type(v2) is int and type(v3) is int
+        ):
+            try:
+                boxes[i] = [int(v) for v in box]
+            except (TypeError, ValueError):
+                return None
+    return texts, boxes
 
 
 # Page-segmentation modes (PSM contract, marie/boxes/box_processor.py:129-162),
@@ -97,7 +107,62 @@ def _normalize_mode(mode: str | None) -> str:
     return m if m in PSM_MODES else "sparse"
 
 
-def extract_layout(words_in: list[dict[str, Any]], mode: str = "sparse") -> dict[str, Any]:
+def _line_numbers(boxes_list: list[list[int]], mode: str) -> list[int]:
+    """Per-word line number under the given (already-normalized) mode, for
+    non-degenerate boxes. 1-based."""
+    n = len(boxes_list)
+    if mode in ("word", "line"):
+        # single line: every word assigned line 1 ('word' additionally means
+        # the caller treats the result as one token; assembly is identical)
+        return [1] * n
+    if mode == "multiline":
+        # no clustering: each distinct y is a line, in ascending y order
+        uniq = sorted({b[1] for b in boxes_list})
+        rank = {y: i + 1 for i, y in enumerate(uniq)}
+        return [rank[b[1]] for b in boxes_list]
+    # sparse: pure-Python band fast path → numpy fast path → general ladder
+    fast = fast_band_lines_py(boxes_list) if n <= 512 else None
+    if fast is not None:
+        return fast[1]
+    boxes = np.asarray(boxes_list, dtype=np.int64)
+    fastnp = fast_band_lines(boxes)
+    if fastnp is not None:
+        return [int(v) for v in fastnp[1]]
+    line_boxes = cluster_lines(boxes)
+    return [int(v) for v in assign_lines(boxes, line_boxes)]
+
+
+def extract_layout_text(
+    texts_in: list[str], boxes_in: list[list[int]], mode: str = "sparse"
+) -> str:
+    """Reading-order text only — the hot path for struct-free extraction.
+
+    Byte-identical to ``extract_layout(...)["text"]``; skips every word/line
+    struct allocation (ids, envelopes, confidences), which is most of the
+    cost for the default ``with_structs=False`` query.
+    """
+    mode = _normalize_mode(mode)
+    texts: list[str] = []
+    boxes: list[list[int]] = []
+    for t, b in zip(texts_in, boxes_in):
+        if b[2] > 0 and b[3] > 0:
+            texts.append(t)
+            boxes.append(b)
+    if not texts:
+        return ""
+    if mode == "raw_line":
+        return join_words(texts)
+    line_no = _line_numbers(boxes, mode)
+    order = sorted(range(len(texts)), key=lambda i: boxes[i][0])  # stable x
+    by_line: dict[int, list[str]] = {}
+    for i in order:
+        by_line.setdefault(line_no[i], []).append(texts[i])
+    return join_lines([join_words(by_line[ln]) for ln in sorted(by_line)])
+
+
+def extract_layout(
+    texts_in: list[str], boxes_in: list[list[int]], mode: str = "sparse"
+) -> dict[str, Any]:
     """Assemble scrambled word boxes into reading-order lines and text.
 
     Returns ``{"text", "words", "lines"}`` with the word/line schemas of
@@ -105,12 +170,14 @@ def extract_layout(words_in: list[dict[str, Any]], mode: str = "sparse") -> dict
     """
     mode = _normalize_mode(mode)
     # Degenerate-box filter (ocr_engine.py:277-287): zero/negative extents.
-    usable = [w for w in words_in if w["box"][2] > 0 and w["box"][3] > 0]
+    usable = [
+        (t, b) for t, b in zip(texts_in, boxes_in) if b[2] > 0 and b[3] > 0
+    ]
     if not usable:
         return {"text": "", "words": [], "lines": []}
 
-    boxes = np.asarray([w["box"] for w in usable], dtype=np.int64)
-    texts = [w["text"] for w in usable]
+    boxes = np.asarray([b for _, b in usable], dtype=np.int64)
+    texts = [t for t, _ in usable]
 
     if mode == "raw_line":
         # no box analysis: input order, one line (box_processor.py:145-146)
@@ -135,29 +202,12 @@ def extract_layout(words_in: list[dict[str, Any]], mode: str = "sparse") -> dict
             ],
         }
 
-    if mode in ("word", "line"):
-        # single line: every word assigned line 1 ('word' additionally means
-        # the caller treats the result as one token; assembly is identical)
-        line_no = np.ones(len(usable), dtype=np.int64)
-    elif mode == "multiline":
-        # no clustering: each distinct y is a line, in ascending y order
-        ys = boxes[:, 1]
-        uniq = np.sort(np.unique(ys))
-        rank = {int(y): i + 1 for i, y in enumerate(uniq)}
-        line_no = np.asarray([rank[int(y)] for y in ys], dtype=np.int64)
-    else:
-        fast = fast_band_lines(boxes)
-        if fast is not None:
-            _, line_no = fast
-        else:
-            line_boxes = cluster_lines(boxes)
-            line_no = assign_lines(boxes, line_boxes)
+    line_list = _line_numbers([b for _, b in usable], mode)
 
     # LTR reindex by x (ocr_processor.py:160-190): id = rank in x order;
     # group per line in one pass (x order within the line is preserved).
     order = np.argsort(boxes[:, 0], kind="stable")
     boxes_list = boxes.tolist()
-    line_list = line_no.tolist()
     by_line: dict[int, list[dict[str, Any]]] = {}
     for rank, idx in enumerate(order.tolist()):
         w = {

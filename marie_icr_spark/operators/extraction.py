@@ -76,7 +76,7 @@ def _extract_batches(
         kinds, outs, spans = [], [], []
         words, lines = [], []
         for t in texts:
-            r = extract_turn(t, mode=mode)
+            r = extract_turn(t, mode=mode, with_structs=with_structs)
             kinds.append(r.payload_kind)
             outs.append(r.extracted_text)
             spans.append(r.span_count)
