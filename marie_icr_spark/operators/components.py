@@ -7,9 +7,15 @@ component — the standard last mile of corpus dedup at scale.
 Algorithm: alternating small/large-star label propagation simplified to
 undirected min-label flooding — each round every vertex adopts the minimum
 label in its neighborhood; converges in O(diameter) rounds. Each round is
-one shuffle (groupBy vertex); ``localCheckpoint`` truncates the iterative
-lineage so plans don't grow unboundedly (the driver-side loop carries only
-a convergence flag, never data).
+one shuffle (groupBy vertex); per-round checkpointing truncates the
+iterative lineage so plans don't grow unboundedly (the driver-side loop
+carries only a convergence flag, never data).
+
+Checkpoint durability: ``localCheckpoint`` stores blocks on executors —
+fine in local mode, but an executor loss on a real cluster invalidates it
+and fails the job. When a reliable checkpoint dir is configured
+(``spark.sparkContext.setCheckpointDir`` or the ``checkpoint_dir`` arg),
+rounds use reliable ``checkpoint()`` instead.
 """
 
 from __future__ import annotations
@@ -18,28 +24,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _round_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
+    return df.checkpoint() if reliable else df.localCheckpoint()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Component label (min member id) per vertex of the undirected graph.
 
     Output: (vertex long, component long). Isolated vertices don't appear
     (callers union them back with component = own id if needed).
+    ``checkpoint_dir`` (or a pre-configured SparkContext checkpoint dir)
+    switches per-round truncation to reliable, executor-loss-safe
+    checkpoints.
     """
+    sc = edges.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+    reliable = sc.getCheckpointDir() is not None
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    labels = (
+    labels = _round_checkpoint(
         sym.select(F.col("u").alias("vertex"))
         .distinct()
-        .withColumn("component", F.col("vertex"))
-        .localCheckpoint()
+        .withColumn("component", F.col("vertex")),
+        reliable,
     )
 
     for _ in range(max_iter):
@@ -77,7 +95,7 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
-        updated = updated.localCheckpoint()
+        updated = _round_checkpoint(updated, reliable)
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:

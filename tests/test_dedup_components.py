@@ -29,6 +29,22 @@ def test_dedup_groups_on_jaccard_pairs(spark):
     assert all(k < 1_000_000 for k in keeps)
 
 
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """With a checkpoint dir configured, rounds use reliable checkpoint()
+    (executor-loss-safe on a real cluster); results identical."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = {
+        r["vertex"]: r["component"]
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    assert spark.sparkContext.getCheckpointDir() is not None
+
+
 def test_long_chain_converges(spark):
     n = 40
     edges = spark.createDataFrame(
