@@ -119,6 +119,46 @@ def merge_spans_horizontal(spans: DataFrame, band: float = 0.5) -> DataFrame:
     )
 
 
+SUBWORD_PIECE_LEN = 4
+
+
+def subword_pieces(tokens: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic wordpiece-style tokenization: each token splits into
+    fixed-width pieces (SUBWORD_PIECE_LEN chars); continuation pieces carry
+    the '##' prefix and their char_start offset — the shape a HF tokenizer's
+    offset_mapping exposes (ner_extraction_executor.py:300-301: a piece is a
+    subword iff its offset start != 0). Pure Column expressions.
+
+    Output: input columns + (piece_idx, char_start, piece_text, n_pieces).
+    """
+    n_pieces = F.greatest(
+        F.ceil(F.length(text_col) / SUBWORD_PIECE_LEN), F.lit(1)
+    ).cast("int")
+    with_n = tokens.withColumn("n_pieces", n_pieces)
+    exploded = with_n.select(
+        "*", F.posexplode(F.sequence(F.lit(0), F.col("n_pieces") - 1)).alias("piece_idx", "_i")
+    ).drop("_i")
+    start = F.col("piece_idx") * SUBWORD_PIECE_LEN
+    sub = F.col(text_col).substr(start + 1, F.lit(SUBWORD_PIECE_LEN))
+    return exploded.select(
+        "*",
+        start.cast("int").alias("char_start"),
+        F.when(F.col("piece_idx") > 0, F.concat(F.lit("##"), sub))
+        .otherwise(sub)
+        .alias("piece_text"),
+    )
+
+
+def first_subword_filter(pieces: DataFrame) -> DataFrame:
+    """F5: keep only non-subword predictions — pieces whose offset start is
+    0 — and drop [0,0,0,0] boxes (ner_extraction_executor.py:300-330)."""
+    zero_box = (
+        (F.col("x") == 0) & (F.col("y") == 0)
+        & (F.col("w") == 0) & (F.col("h") == 0)
+    )
+    return pieces.filter((F.col("char_start") == 0) & ~zero_box)
+
+
 def kv_pairs(spans: DataFrame) -> DataFrame:
     """Per (doc, line): first 'key' span paired with the first 'value' span
     at or right of it; unmatched lines are dropped with a skip reason the

@@ -128,3 +128,89 @@ def document_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         rolling_fingerprint(ws_tokens(F.col(text_col))).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene): regex redaction with placeholder
+# tokens. Patterns are RE2-compatible (no lookaround) so Spark (Java regex)
+# and DuckDB (RE2) agree; applied in pinned order, counts taken on the
+# progressively-scrubbed text so overlapping patterns never double-count.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Redact PII spans with typed placeholders.
+
+    Output: (id_cols..., scrubbed_text, n_email, n_ssn, n_phone, n_ipv4,
+    n_redactions). Pure Column expressions (whole-stage codegen)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return df.select(
+        *id_cols,
+        cur.alias("scrubbed_text"),
+        *counts,
+        total.cast("long").alias("n_redactions"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k distinguishing terms per document by rational tf-idf.
+
+    score = tf · N / df (monotonic in tf/df — the log in classic idf only
+    compresses the scale and is not cross-engine bit-exact, so the rational
+    form is used; integer products stay < 2^53, then one division rounded 6).
+    Shuffle profile: explode → two hash aggs (term stats) → broadcast N →
+    window top-k per doc. Ties break on term asc.
+    Output: (doc_id, term, tf, df, score, rank)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("did"), F.explode(ws_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("did", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            round_half_up(F.col("tf") * F.col("n_docs") / F.col("df"), 6),
+        )
+    )
+    w = Window.partitionBy("did").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("did").alias(id_col), "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1948,3 +1948,128 @@ FROM grp GROUP BY doc_id, group_id
 
 EXT_QUERIES["composite_entities"] = q_composite_entities
 EXT_ORACLES["composite_entities"] = ORACLE_COMPOSITE_ENTITIES
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + rational tf-idf top-terms (training-data hygiene ops).
+# The PII fixture appends deterministic synthetic PII to every document so
+# the redaction counts are non-zero; patterns are RE2-compatible and applied
+# in pinned order on both engines.
+# ---------------------------------------------------------------------------
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import pii_scrub
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ph 555-123-4567 ip 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(" ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    return pii_scrub(d)
+
+
+def _pii_oracle_sql() -> str:
+    from .operators.textstats import PII_PATTERNS
+
+    base = (
+        "SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com ph 555-123-4567 ip 10.0.0.'"
+        " || CAST(doc_id % 255 AS VARCHAR) || ' ssn 123-45-6789' AS text"
+        " FROM documents"
+    )
+    cur = "text"
+    count_cols = []
+    for name, pat, repl in PII_PATTERNS:
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    cols = ",\n       ".join(count_cols)
+    return f"""
+WITH d AS ({base}),
+s AS (SELECT doc_id, {cur} AS scrubbed_text,
+       {cols}
+      FROM d)
+SELECT doc_id, scrubbed_text, n_email, n_ssn, n_phone, n_ipv4,
+       CAST({total} AS BIGINT) AS n_redactions
+FROM s
+"""
+
+
+ORACLE_PII_SCRUB = _pii_oracle_sql()
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH toks AS (SELECT doc_id did, unnest({_TOKENS_SQL.format(e='text')}) term
+              FROM documents),
+tf AS (SELECT did, term, COUNT(*) tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) n_docs FROM documents),
+s AS (SELECT did, term, tf, df,
+        (floor((tf * n_docs / df) * 1000000.0 + 0.5) / 1000000.0) score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY did
+        ORDER BY score DESC, term ASC) rk FROM s)
+SELECT did AS doc_id, term, CAST(tf AS BIGINT) tf, CAST(df AS BIGINT) df,
+       score, CAST(rk AS INTEGER) AS "rank"
+FROM r WHERE rk <= 3
+"""
+
+EXT_QUERIES["pii_scrub"] = q_pii_scrub
+EXT_QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+EXT_ORACLES["pii_scrub"] = ORACLE_PII_SCRUB
+EXT_ORACLES["tfidf_top_terms"] = ORACLE_TFIDF_TOP_TERMS
+
+
+# ---------------------------------------------------------------------------
+# Subword filter (F5): deterministic wordpiece split over labeled tokens,
+# then keep only offset-0 pieces and non-zero boxes
+# (ner_extraction_executor.py:300-330).
+# ---------------------------------------------------------------------------
+
+def q_subword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kv import first_subword_filter, subword_pieces
+
+    pieces = subword_pieces(_labeled_tokens(spark, sf_dir))
+    return first_subword_filter(pieces).select(
+        "doc_id", "token_idx", "label", "piece_text", "n_pieces",
+        (F.col("n_pieces") - 1).cast("int").alias("n_subwords_dropped"),
+    )
+
+
+def _subword_oracle_sql() -> str:
+    from .operators.kv import SUBWORD_PIECE_LEN as L
+
+    return f"""
+WITH tok AS ({_LABELED_TOKENS_SQL}),
+np AS (SELECT *, CAST(greatest(CAST(ceil(len(text) / {L}.0) AS BIGINT), 1)
+                 AS INTEGER) n_pieces FROM tok),
+p AS (SELECT *, unnest(range(n_pieces)) piece_idx FROM np),
+pt AS (SELECT *, CAST(piece_idx * {L} AS INTEGER) char_start,
+         CASE WHEN piece_idx > 0
+              THEN '##' || substr(text, piece_idx * {L} + 1, {L})
+              ELSE substr(text, piece_idx * {L} + 1, {L}) END piece_text
+       FROM p)
+SELECT doc_id, token_idx, "label", piece_text, n_pieces,
+       CAST(n_pieces - 1 AS INTEGER) n_subwords_dropped
+FROM pt
+WHERE char_start = 0 AND NOT (x = 0 AND y = 0 AND w = 0 AND h = 0)
+"""
+
+
+ORACLE_SUBWORD_FILTER = _subword_oracle_sql()
+
+EXT_QUERIES["subword_filter"] = q_subword_filter
+EXT_ORACLES["subword_filter"] = ORACLE_SUBWORD_FILTER
