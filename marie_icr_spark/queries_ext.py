@@ -2073,3 +2073,72 @@ ORACLE_SUBWORD_FILTER = _subword_oracle_sql()
 
 EXT_QUERIES["subword_filter"] = q_subword_filter
 EXT_ORACLES["subword_filter"] = ORACLE_SUBWORD_FILTER
+
+
+# ---------------------------------------------------------------------------
+# Ensemble extraction voting (B12 'best' engine / J4): three strategies —
+# two full extractions + a degraded first-line-only strategy — majority-vote
+# per turn (voting_ocr_engine.py:424-471). The oracle replays the winner,
+# vote count, and averaged confidence per turn from the derived truth.
+# ---------------------------------------------------------------------------
+
+def q_vote_extractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.voting import vote_extractions
+
+    t = transcripts_from_docs(spark, sf_dir)
+    a = extract_turns(t)
+    # degraded strategy: first line only (a weak engine in the ensemble)
+    b = a.withColumn(
+        "extracted_text", F.split("extracted_text", "\n").getItem(0)
+    ).withColumn(
+        "span_count",
+        F.when(F.col("span_count") > 0, F.lit(1)).otherwise(F.lit(0)).cast("int"),
+    )
+    return vote_extractions([a, b, a]).select(
+        "conv_id", "turn_idx", "voted", "votes", "vote_confidence"
+    )
+
+
+ORACLE_VOTE_EXTRACTIONS = (
+    _ORACLE_DERIVE_REF
+    + """
+SELECT conv_id, turn_idx,
+       extracted_text AS voted,
+       CAST(CASE WHEN extracted_text = split_part(extracted_text, chr(10), 1)
+            THEN 3 ELSE 2 END AS BIGINT) AS votes,
+       (floor((CASE WHEN extracted_text = split_part(extracted_text, chr(10), 1)
+               THEN (2.0 * span_count + least(span_count, 1)) / 3.0
+               ELSE CAST(span_count AS DOUBLE) END) * 10000.0 + 0.5) / 10000.0)
+         AS vote_confidence
+FROM g
+"""
+)
+
+EXT_QUERIES["vote_extractions"] = q_vote_extractions
+EXT_ORACLES["vote_extractions"] = ORACLE_VOTE_EXTRACTIONS
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup composition: near-dup pairs → connected components →
+# survivors (the rows a training pipeline actually keeps).
+# ---------------------------------------------------------------------------
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import dedup_groups
+
+    corpus = _corpus(spark, sf_dir)
+    groups = dedup_groups(jaccard_pairs(corpus, _JACCARD_T))
+    drops = groups.filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+    return corpus.select("doc_id").join(drops, "doc_id", "left_anti")
+
+
+ORACLE_DEDUP_SURVIVORS = ORACLE_DEDUP_GROUPS.rstrip().replace(
+    ")\nSELECT u AS doc_id, LEAST(u, MIN(v)) AS keep_id FROM rec GROUP BY u",
+    """),
+gr AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS keep_id FROM rec GROUP BY u)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM gr WHERE doc_id != keep_id)""",
+)
+
+EXT_QUERIES["dedup_survivors"] = q_dedup_survivors
+EXT_ORACLES["dedup_survivors"] = ORACLE_DEDUP_SURVIVORS
