@@ -6,11 +6,18 @@ The reference loads page images as ndarray frames
 with typed metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-The image/audio codec libraries are not in this container, so the *decode*
-step is a clearly marked stub: ``decode_media`` parses a deterministic fake
-header (tests) and raises ``NotImplementedError`` for real codecs — the
-Spark-side plumbing (schemas, batch shape, partition sizing) is real and
-tested.
+Decode dispatches on container magic. REAL pure-stdlib decoders cover:
+
+* PPM (P6)  — full header + raw pixel access (``media_pixel_stats``)
+* BMP       — BITMAPINFOHEADER dimensions
+* PNG       — IHDR dimensions (no IDAT decompression needed for metadata)
+* JPEG      — SOF0/1/2 frame dimensions (marker scan)
+* WAV       — channels / sample rate / frame count via stdlib ``wave``
+              (mapped as width=n_channels, height=sample_rate)
+
+Compressed-codec *pixel* decode (JPEG/PNG bitmaps, video) would need
+PIL/ffmpeg, which are not in this container — those, and unknown magics,
+raise ``NotImplementedError`` and fail open as (ok=False, error) rows.
 
 Fake header format (tests): b"FAKE" + kind(1B: I/A/V) + width(4B LE) +
 height(4B LE) + nframes(4B LE) + payload.
@@ -18,7 +25,9 @@ height(4B LE) + nframes(4B LE) + payload.
 
 from __future__ import annotations
 
+import io
 import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -71,21 +80,127 @@ def encode_fake_media(kind: str, width: int, height: int, n_frames: int,
     )
 
 
+def _ok(w: int, h: int, n: int, payload: int) -> dict:
+    return {"ok": True, "error": "", "width": int(w), "height": int(h),
+            "n_frames": int(n), "payload_bytes": int(payload)}
+
+
+def _bad(err: str) -> dict:
+    return {"ok": False, "error": err, "width": 0, "height": 0,
+            "n_frames": 0, "payload_bytes": 0}
+
+
+def parse_ppm_header(content: bytes) -> tuple[int, int, int, int] | None:
+    """P6 header → (width, height, maxval, pixel_data_offset); None if not
+    a valid binary PPM. Handles comments and arbitrary whitespace."""
+    if content[:2] != b"P6":
+        return None
+    fields: list[int] = []
+    i = 2
+    n = len(content)
+    while len(fields) < 3 and i < n:
+        c = content[i : i + 1]
+        if c == b"#":
+            nl = content.find(b"\n", i)
+            i = n if nl == -1 else nl + 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and content[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(content[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= n or not content[i : i + 1].isspace():
+        return None
+    return fields[0], fields[1], fields[2], i + 1
+
+
+def _decode_ppm(content: bytes) -> dict:
+    hdr = parse_ppm_header(content)
+    if hdr is None:
+        return _bad("malformed ppm")
+    w, h, _maxval, off = hdr
+    need = w * h * 3
+    if len(content) - off < need:
+        return _bad("truncated ppm")
+    return _ok(w, h, 1, need)
+
+
+def _decode_bmp(content: bytes) -> dict:
+    if len(content) < 26:
+        return _bad("truncated bmp")
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size >= 40:
+        w, h = struct.unpack_from("<ii", content, 18)
+    else:  # BITMAPCOREHEADER
+        w, h = struct.unpack_from("<hh", content, 18)
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    return _ok(w, abs(h), 1, max(len(content) - data_off, 0))
+
+
+def _decode_png(content: bytes) -> dict:
+    if len(content) < 24 or content[12:16] != b"IHDR":
+        return _bad("truncated png")
+    w, h = struct.unpack_from(">II", content, 16)
+    return _ok(w, h, 1, len(content) - 8)
+
+
+def _decode_jpeg(content: bytes) -> dict:
+    i, n = 2, len(content)
+    while i + 9 < n:
+        if content[i] != 0xFF:
+            return _bad("malformed jpeg")
+        marker = content[i + 1]
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            h, w = struct.unpack_from(">HH", content, i + 5)
+            return _ok(w, h, 1, n)
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg = struct.unpack_from(">H", content, i + 2)[0]
+        i += 2 + seg
+    return _bad("no jpeg SOF marker")
+
+
+def _decode_wav(content: bytes) -> dict:
+    try:
+        with wave.open(io.BytesIO(bytes(content))) as wv:
+            # audio mapping: width = channels, height = sample rate
+            return _ok(
+                wv.getnchannels(), wv.getframerate(), wv.getnframes(),
+                wv.getnframes() * wv.getnchannels() * wv.getsampwidth(),
+            )
+    except (wave.Error, EOFError):
+        return _bad("malformed wav")
+
+
 def _decode_one(content: bytes) -> dict:
-    if content is None or len(content) < len(_MAGIC) + _HEADER_SIZE:
-        return {"ok": False, "error": "truncated", "width": 0, "height": 0,
-                "n_frames": 0, "payload_bytes": 0}
-    if content[: len(_MAGIC)] != _MAGIC:
-        # STUB: a real build would dispatch to PIL/ffmpeg here
-        raise NotImplementedError(
-            "real media codecs are not available in this container"
-        )
-    kind, w, h, n = struct.unpack_from(_HEADER_FMT, content, len(_MAGIC))
-    return {
-        "ok": True, "error": "",
-        "width": int(w), "height": int(h), "n_frames": int(n),
-        "payload_bytes": len(content) - len(_MAGIC) - _HEADER_SIZE,
-    }
+    if content is None or len(content) < 8:
+        return _bad("truncated")
+    head = bytes(content[:12])
+    if head[: len(_MAGIC)] == _MAGIC:
+        if len(content) < len(_MAGIC) + _HEADER_SIZE:
+            return _bad("truncated")
+        kind, w, h, n = struct.unpack_from(_HEADER_FMT, content, len(_MAGIC))
+        return _ok(w, h, n, len(content) - len(_MAGIC) - _HEADER_SIZE)
+    if head[:2] == b"P6":
+        return _decode_ppm(bytes(content))
+    if head[:2] == b"BM":
+        return _decode_bmp(bytes(content))
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(bytes(content))
+    if head[:3] == b"\xff\xd8\xff":
+        return _decode_jpeg(bytes(content))
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return _decode_wav(content)
+    # compressed-codec pixel decode / unknown containers need PIL/ffmpeg,
+    # which this container does not ship
+    raise NotImplementedError(
+        f"no decoder for container magic {head[:4]!r}"
+    )
 
 
 def decode_media(df: DataFrame, fail_open: bool = True) -> DataFrame:
@@ -170,3 +285,82 @@ def media_features(decoded: DataFrame) -> DataFrame:
         F.col("payload_bytes"),
         F.col("ok"),
     )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("min_lum", T.IntegerType()),
+        T.StructField("max_lum", T.IntegerType()),
+    ]
+)
+
+
+def media_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel-level feature extraction for raw-bitmap assets (PPM P6):
+    per-channel means and integer luminance range, numpy over the raw
+    buffer inside Arrow-batched mapInPandas. Non-PPM rows emit ok=False
+    (compressed bitmaps need codec libs)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                hdr = parse_ppm_header(bytes(content)) if content is not None else None
+                if hdr is None:
+                    rows.append((aid, False, 0.0, 0.0, 0.0, 0, 0))
+                    continue
+                w, h, _mx, off = hdr
+                need = w * h * 3
+                buf = bytes(content)[off : off + need]
+                if len(buf) < need or need == 0:
+                    rows.append((aid, False, 0.0, 0.0, 0.0, 0, 0))
+                    continue
+                px = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3)
+                # integer luminance (ITU-R 601 in fixed point, exact)
+                lum = (
+                    299 * px[:, 0].astype(np.int64)
+                    + 587 * px[:, 1].astype(np.int64)
+                    + 114 * px[:, 2].astype(np.int64)
+                ) // 1000
+                rows.append(
+                    (
+                        aid, True,
+                        float(px[:, 0].mean()), float(px[:, 1].mean()),
+                        float(px[:, 2].mean()),
+                        int(lum.min()), int(lum.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "ok", "mean_r", "mean_g", "mean_b",
+                    "min_lum", "max_lum",
+                ],
+            )
+
+    return df.select("asset_id", "content").mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA
+    )
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Test-fixture encoder: binary PPM (P6, maxval 255)."""
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def encode_wav(n_channels: int, framerate: int, frames: bytes,
+               sampwidth: int = 2) -> bytes:
+    """Test-fixture encoder: PCM WAV via stdlib wave."""
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wv:
+        wv.setnchannels(n_channels)
+        wv.setsampwidth(sampwidth)
+        wv.setframerate(framerate)
+        wv.writeframes(frames)
+    return bio.getvalue()

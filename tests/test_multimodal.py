@@ -6,7 +6,10 @@ from marie_icr_spark.operators.multimodal import (
     ASSET_SCHEMA,
     decode_media,
     encode_fake_media,
+    encode_ppm,
+    encode_wav,
     media_features,
+    media_pixel_stats,
     sample_frames,
 )
 
@@ -18,9 +21,10 @@ def assets(spark):
         ("img-2", "image", encode_fake_media("I", 100, 200, 1, b"y" * 10), {}),
         ("vid-1", "video", encode_fake_media("V", 1920, 1080, 10, b"f" * 100), {}),
         ("aud-1", "audio", encode_fake_media("A", 0, 0, 5, b"s" * 50), {}),
-        ("bad-1", "image", b"\x89PNG\r\n\x1a\nnotreally", {}),  # real codec → stub
+        ("bad-1", "image", b"\x89PNG\r\n\x1a\nnotreally", {}),  # truncated png
         ("bad-2", "image", b"xx", {}),  # truncated
         ("bad-3", "image", None, {}),
+        ("unk-1", "video", b"GIF89a-no-decoder-here", {}),  # unknown magic → stub
     ]
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
 
@@ -30,10 +34,64 @@ def test_decode_dimensions_and_fail_open(spark, assets):
     assert out["img-1"]["width"] == 640 and out["img-1"]["height"] == 480
     assert out["img-1"]["payload_bytes"] == 100 and out["img-1"]["ok"]
     assert out["vid-1"]["n_frames"] == 10
-    # real codec bytes hit the NotImplementedError stub → fail-open row
-    assert not out["bad-1"]["ok"] and "not available" in out["bad-1"]["error"]
+    assert not out["bad-1"]["ok"] and "png" in out["bad-1"]["error"]
     assert not out["bad-2"]["ok"] and out["bad-2"]["error"] == "truncated"
     assert not out["bad-3"]["ok"]
+    # unknown container magic hits the NotImplementedError stub → fail-open
+    assert not out["unk-1"]["ok"] and "no decoder" in out["unk-1"]["error"]
+
+
+def test_real_decoders_ppm_wav_png_bmp_jpeg(spark):
+    import struct as _s
+
+    ppm = encode_ppm(2, 2, bytes([255, 0, 0] * 2 + [0, 0, 255] * 2))
+    wav = encode_wav(2, 44100, b"\x00\x01" * 2 * 300)  # 300 stereo frames
+    png = (
+        b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR"
+        + _s.pack(">IIBBBBB", 320, 200, 8, 2, 0, 0, 0) + b"\x00" * 4
+    )
+    bmp = (
+        b"BM" + _s.pack("<IHHI", 200, 0, 0, 54)
+        + _s.pack("<IiiHH", 40, 77, -55, 1, 24) + b"\x00" * 146
+    )
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + _s.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + _s.pack(">HBHH", 11, 8, 48, 64) + b"\x00" * 6
+    )
+    rows = [
+        ("ppm-1", "image", ppm, {}),
+        ("wav-1", "audio", wav, {}),
+        ("png-1", "image", png, {}),
+        ("bmp-1", "image", bmp, {}),
+        ("jpg-1", "image", jpeg, {}),
+    ]
+    df = spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in decode_media(df).collect()}
+    assert out["ppm-1"]["ok"] and (out["ppm-1"]["width"], out["ppm-1"]["height"]) == (2, 2)
+    assert out["ppm-1"]["payload_bytes"] == 12
+    assert out["wav-1"]["ok"]
+    assert (out["wav-1"]["width"], out["wav-1"]["height"], out["wav-1"]["n_frames"]) == (2, 44100, 300)
+    assert out["png-1"]["ok"] and (out["png-1"]["width"], out["png-1"]["height"]) == (320, 200)
+    assert out["bmp-1"]["ok"] and (out["bmp-1"]["width"], out["bmp-1"]["height"]) == (77, 55)
+    assert out["jpg-1"]["ok"] and (out["jpg-1"]["width"], out["jpg-1"]["height"]) == (64, 48)
+
+
+def test_pixel_stats_real_decode(spark):
+    # 3x1: pure red, pure green, mid gray
+    ppm = encode_ppm(3, 1, bytes([255, 0, 0, 0, 255, 0, 128, 128, 128]))
+    df = spark.createDataFrame(
+        [("px-1", "image", ppm, {}), ("px-2", "image", b"\xff\xd8\xffxx", {})],
+        schema=ASSET_SCHEMA,
+    )
+    out = {r["asset_id"]: r for r in media_pixel_stats(df).collect()}
+    r = out["px-1"]
+    assert r["ok"]
+    assert r["mean_r"] == pytest.approx((255 + 0 + 128) / 3)
+    assert r["mean_g"] == pytest.approx((0 + 255 + 128) / 3)
+    assert r["mean_b"] == pytest.approx(128 / 3)
+    # luminance: red=76, green=149, gray=128 (fixed-point 601)
+    assert (r["min_lum"], r["max_lum"]) == (76, 149)
+    assert not out["px-2"]["ok"]  # compressed bitmap: no pixel access
 
 
 def test_decode_fail_closed_raises(spark, assets):
