@@ -2142,3 +2142,123 @@ WHERE doc_id NOT IN (SELECT doc_id FROM gr WHERE doc_id != keep_id)""",
 
 EXT_QUERIES["dedup_survivors"] = q_dedup_survivors
 EXT_ORACLES["dedup_survivors"] = ORACLE_DEDUP_SURVIVORS
+
+
+# ---------------------------------------------------------------------------
+# Structured-Streaming oracles: transcripts land as a file stream and run
+# through the REAL streaming pipeline (availableNow) inside the query; the
+# results are deterministic (ts = EPOCH + doc_id seconds), so the windowed
+# aggregation and the stateful per-conversation totals both replay in SQL.
+# ---------------------------------------------------------------------------
+
+from .sources.transcripts import WORDS_PER_LINE  # noqa: E402
+
+
+def _stream_input(spark, sf_dir: str) -> tuple[str, str]:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="stream_oracle_")
+    inp = f"{base}/in"
+    transcripts_from_docs(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    return base, inp
+
+
+def q_stream_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from .streaming.pipeline import stream_kind_counts
+
+    base, inp = _stream_input(spark, sf_dir)
+    name = f"kc_{uuid.uuid4().hex[:8]}"
+    try:
+        q, sink = stream_kind_counts(
+            spark, inp, f"{base}/ckpt", available_now=True, sink_name=name
+        )
+        q.awaitTermination()
+        rows = [
+            (r["window"]["start"], r["payload_kind"], int(r["turn_count"]),
+             int(r["total_spans"] or 0))
+            for r in spark.table(sink).collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "window_start timestamp, payload_kind string,"
+            " turn_count bigint, total_spans bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+ORACLE_STREAM_KIND_COUNTS = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 100 AS kb,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents),
+s AS (
+  SELECT doc_id, kb,
+         CAST(CASE WHEN kb >= 98 THEN 0
+              ELSE ceil(len(w) / {WORDS_PER_LINE}.0) END AS INTEGER) span_count
+  FROM d)
+SELECT TIMESTAMP '2025-01-01 00:00:00'
+         + ((doc_id // 60) * 60) * INTERVAL 1 SECOND AS window_start,
+       CASE WHEN kb < 40 THEN 'html' WHEN kb < 65 THEN 'layout'
+            WHEN kb < 90 THEN 'markdown' WHEN kb < 98 THEN 'plain'
+            ELSE 'empty' END AS payload_kind,
+       CAST(COUNT(*) AS BIGINT) AS turn_count,
+       CAST(SUM(span_count) AS BIGINT) AS total_spans
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_stream_conv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import uuid
+
+    from .streaming.pipeline import stream_conversation_state
+
+    base, inp = _stream_input(spark, sf_dir)
+    name = f"cs_{uuid.uuid4().hex[:8]}"
+    try:
+        q, sink = stream_conversation_state(
+            spark, inp, f"{base}/ckpt", available_now=True, sink_name=name
+        )
+        q.awaitTermination()
+        # update-mode sink: keep the final state row per conversation
+        final = (
+            spark.table(sink)
+            .groupBy("conv_id")
+            .agg(
+                F.max("turns_seen").alias("turns_seen"),
+                F.max("spans_total").alias("spans_total"),
+                F.max("max_turn_idx").alias("max_turn_idx"),
+            )
+        )
+        rows = [
+            (r["conv_id"], int(r["turns_seen"]), int(r["spans_total"]),
+             int(r["max_turn_idx"]))
+            for r in final.collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turns_seen bigint, spans_total bigint,"
+            " max_turn_idx int",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+ORACLE_STREAM_CONV_STATE = (
+    _ORACLE_DERIVE_REF
+    + """
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS turns_seen,
+       CAST(SUM(span_count) AS BIGINT) AS spans_total,
+       CAST(MAX(turn_idx) AS INTEGER) AS max_turn_idx
+FROM g GROUP BY conv_id
+"""
+)
+
+EXT_QUERIES["stream_kind_counts"] = q_stream_kind_counts
+EXT_QUERIES["stream_conv_state"] = q_stream_conv_state
+EXT_ORACLES["stream_kind_counts"] = ORACLE_STREAM_KIND_COUNTS
+EXT_ORACLES["stream_conv_state"] = ORACLE_STREAM_CONV_STATE

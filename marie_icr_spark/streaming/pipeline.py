@@ -125,6 +125,7 @@ def stream_kind_counts(
     slide: str | None = None,
     watermark: str = "2 minutes",
     available_now: bool = False,
+    sink_name: str = "kind_counts_sink",
 ):
     """Watermarked (sliding) window counts of turns per payload kind.
 
@@ -145,7 +146,7 @@ def stream_kind_counts(
             F.sum("span_count").alias("total_spans"),
         )
     )
-    name = "kind_counts_sink"
+    name = sink_name
     # complete mode for the in-memory sink: append would hold back windows
     # newer than the final watermark (correct for an unbounded stream, but a
     # bounded availableNow run needs every window flushed)
@@ -165,6 +166,7 @@ def stream_conversation_state(
     input_dir: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    sink_name: str = "conv_state_sink",
 ):
     """Custom stateful operator: per-conversation running extraction totals.
 
@@ -213,7 +215,7 @@ def stream_conversation_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = "conv_state_sink"
+    name = sink_name
     writer = (
         updates.writeStream.format("memory")
         .queryName(name)
