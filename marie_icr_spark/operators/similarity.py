@@ -203,3 +203,126 @@ def lsh_topk(emb: DataFrame, query: DataFrame, k: int = 10) -> DataFrame:
         .select("vec_id", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer alternative to the LSH
+# tables. Deterministic integer arithmetic end-to-end so the whole fit /
+# assign / probe path replays in SQL: centroids seed from the K lowest
+# vec_ids, one Lloyd step with floor-mean updates (|sums| < 2^53 → the
+# double division is exact), assignment = argmin integer squared-L2 with
+# ties to the lowest centroid id. Centroids are driver-side metadata
+# (K×dim ints, the k-means broadcast pattern — bookkeeping, not data), so
+# ASSIGNMENT IS A ZERO-SHUFFLE SCAN over literal centroid expressions; only
+# the centroid update shuffles (K·dim keys).
+# ---------------------------------------------------------------------------
+
+IVF_K = 16
+IVF_ITERS = 1
+IVF_NPROBE = 2
+
+
+def _sqdist_lit(qcol, cent: list[int]):
+    return F.aggregate(
+        F.zip_with(
+            qcol,
+            F.array(*[F.lit(int(c)) for c in cent]),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_cids(qcol, centroids: list[tuple[int, list[int]]], nprobe: int):
+    """Array of the nprobe nearest centroid ids (d2 asc, cid asc) as a pure
+    Column expression over centroid literals."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _sqdist_lit(qcol, cq).alias("d2"),
+                F.lit(int(cid)).cast("int").alias("cid"),
+            )
+            for cid, cq in centroids
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def ivf_fit(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS) -> list:
+    """Fit the coarse quantizer; returns [(cid, [int centroid]), ...].
+    Empty clusters are dropped (deterministic; the SQL twin does the same)."""
+    qn = quantize(emb).select("vec_id", "q")
+    seeds = qn.orderBy("vec_id").limit(k).collect()
+    centroids = [(i, list(r["q"])) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = qn.withColumn(
+            "cid", _nearest_cids(F.col("q"), centroids, 1)[0]
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.floor(F.sum("v") / F.count(F.lit(1))).cast("long").alias("cv"))
+        )
+        rows = (
+            sums.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cq")
+            )
+            .collect()
+        )
+        centroids = sorted((int(r["cid"]), list(r["cq"])) for r in rows)
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Batch ANN top-k via the IVF index: per query probe the nprobe nearest
+    centroids' inverted lists (equi-join on cid), exact cosine re-rank.
+    Output: (query_id, vec_id, cosine, rank)."""
+    from pyspark.sql.window import Window
+
+    centroids = ivf_fit(emb)
+    assigned = quantize(emb).withColumn(
+        "cid", _nearest_cids(F.col("q"), centroids, 1)[0]
+    )
+    probes = (
+        quantize(queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(_nearest_cids(F.col("q"), centroids, nprobe)).alias("cid"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round_half_up(
+                _dot(F.col("q"), F.col("qq"))
+                / (F.sqrt(F.col("nrm")) * F.sqrt(F.col("qnrm"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

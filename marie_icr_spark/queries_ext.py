@@ -2262,3 +2262,80 @@ EXT_QUERIES["stream_kind_counts"] = q_stream_kind_counts
 EXT_QUERIES["stream_conv_state"] = q_stream_conv_state
 EXT_ORACLES["stream_kind_counts"] = ORACLE_STREAM_KIND_COUNTS
 EXT_ORACLES["stream_conv_state"] = ORACLE_STREAM_CONV_STATE
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (coarse-quantizer variant): the entire path — seeded centroids,
+# one floor-mean Lloyd step, argmin assignment, nprobe probing, exact
+# re-rank — is integer-deterministic and replayed in SQL.
+# ---------------------------------------------------------------------------
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.orderBy("vec_id").limit(_ANN_BATCH_NQ)
+    return ivf_topk(emb, qs, k=_ANN_BATCH_K)
+
+
+def _ivf_oracle_sql() -> str:
+    from .operators.similarity import IVF_K, IVF_NPROBE
+
+    d2 = (
+        "list_sum(list_transform(range(64), "
+        "i -> (nq.q[i+1] - c.cq[i+1]) * (nq.q[i+1] - c.cq[i+1])))"
+    )
+    cos = (
+        "(floor((list_sum(list_transform(range(64), i -> na.q[i+1] * nb.q[i+1]))"
+        " / (sqrt(na.nrm) * sqrt(nb.nrm))) * 1000000.0 + 0.5) / 1000000.0)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings),
+n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm FROM q),
+seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) cid,
+                 q cq
+          FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {IVF_K})),
+a1 AS (SELECT vec_id, cid, q FROM (
+         SELECT nq.vec_id, c.cid, nq.q,
+                row_number() OVER (PARTITION BY nq.vec_id
+                  ORDER BY {d2}, c.cid) rn
+         FROM q nq CROSS JOIN seeds c)
+       WHERE rn = 1),
+upd AS (SELECT cid, p.i pos, CAST(floor(SUM(p.v) / COUNT(*)) AS BIGINT) cv
+        FROM (SELECT cid,
+                unnest(list_transform(range(64),
+                  i -> {{'i': i, 'v': q[i+1]}})) p
+              FROM a1)
+        GROUP BY cid, p.i),
+c1 AS (SELECT cid, list(cv ORDER BY pos) cq FROM upd GROUP BY cid),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT nq.vec_id, c.cid,
+                row_number() OVER (PARTITION BY nq.vec_id
+                  ORDER BY {d2}, c.cid) rn
+         FROM q nq CROSS JOIN c1 c)
+       WHERE rn = 1),
+qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_ANN_BATCH_NQ}),
+probes AS (SELECT vec_id query_id, cid FROM (
+             SELECT nq.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY nq.vec_id
+                      ORDER BY {d2}, c.cid) rn
+             FROM (SELECT q.* FROM q JOIN qs USING (vec_id)) nq
+             CROSS JOIN c1 c)
+           WHERE rn <= {IVF_NPROBE}),
+scored AS (SELECT p.query_id, a2.vec_id, {cos} cosine
+           FROM probes p
+           JOIN a2 USING (cid)
+           JOIN n na ON p.query_id = na.vec_id
+           JOIN n nb ON a2.vec_id = nb.vec_id
+           WHERE a2.vec_id != p.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, vec_id ASC) rk FROM scored)
+SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS "rank"
+FROM r WHERE rk <= {_ANN_BATCH_K}
+"""
+
+
+ORACLE_IVF_TOPK = _ivf_oracle_sql()
+
+EXT_QUERIES["ivf_topk"] = q_ivf_topk
+EXT_ORACLES["ivf_topk"] = ORACLE_IVF_TOPK

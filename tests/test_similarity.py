@@ -73,6 +73,32 @@ def test_ann_probe_is_equi_join_not_scan(spark, emb):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_ivf_topk_recall_on_planted(spark):
+    """IVF coarse quantizer: near-identical vectors land in the same cell,
+    so the nprobe probe recovers the brute-force neighbors with exact
+    cosines on hits."""
+    from marie_icr_spark.operators.similarity import ivf_topk
+
+    emb = _planted(spark)
+    qids = [0, 4, 40]
+    qdf = emb.filter(F.col("vec_id").isin(qids))
+    by_q = {}
+    for r in ivf_topk(emb, qdf, k=3).collect():
+        by_q.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
+    recalls = []
+    for qid in qids:
+        exact = {
+            r["vec_id"]: r["cosine"]
+            for r in cosine_topk(emb, emb.filter(F.col("vec_id") == qid), k=3).collect()
+        }
+        approx = by_q.get(qid, {})
+        hits = set(exact) & set(approx)
+        recalls.append(len(hits) / len(exact))
+        for h in hits:
+            assert exact[h] == approx[h]
+    assert sum(recalls) / len(recalls) >= 0.8, f"IVF recall too low: {recalls}"
+
+
 def test_ann_batch_topk_matches_brute_force_on_planted(spark):
     """On clustered near-dup data, the bucketed probe recovers the brute-force
     top-k (same quantized arithmetic → identical cosines on hits)."""
