@@ -90,6 +90,25 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def ngrams(tokens: Column, n: int) -> Column:
+    """All n-gram token strings, duplicates preserved (repetition stats)."""
+    k = F.size(tokens) - (n - 1)
+    joined = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+    )
+    return F.when(k > 0, joined).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_sql(tokens_expr: str, n: int) -> str:
+    parts = " || ' ' || ".join(f"({tokens_expr})[i+{j + 1}]" for j in range(n))
+    return (
+        f"(CASE WHEN len({tokens_expr}) >= {n} THEN "
+        f"list_transform(range(len({tokens_expr}) - {n - 1}), i -> {parts}) "
+        f"ELSE CAST([] AS VARCHAR[]) END)"
+    )
+
+
 def shingles_sql(tokens_expr: str, n: int = 3) -> str:
     parts = " || ' ' || ".join(f"({tokens_expr})[i+{j + 1}]" for j in range(n))
     return (

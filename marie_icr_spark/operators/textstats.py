@@ -214,3 +214,30 @@ def tfidf_top_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Gopher/RefinedWeb-style within-document repetition signals: the
+    fraction of duplicated word n-grams (n = 1, 2, 3), computed as
+    (total - distinct) / total rounded 6 (0.0 for empty). High values flag
+    boilerplate-looping documents a training pipeline should drop. Pure
+    Column expressions."""
+    from ..functions.columns import ngrams
+
+    toks = ws_tokens(F.col(text_col))
+    cols = []
+    for n in (1, 2, 3):
+        grams = toks if n == 1 else ngrams(toks, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        cols.append(
+            F.when(
+                total > 0,
+                round_half_up((total - distinct) / total, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{n}gram_frac")
+        )
+    return df.select(*id_cols, *cols)

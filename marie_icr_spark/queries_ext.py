@@ -2339,3 +2339,38 @@ ORACLE_IVF_TOPK = _ivf_oracle_sql()
 
 EXT_QUERIES["ivf_topk"] = q_ivf_topk
 EXT_ORACLES["ivf_topk"] = ORACLE_IVF_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher/RefinedWeb-style quality filters).
+# ---------------------------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _repetition_oracle_sql() -> str:
+    from .functions.columns import ngrams_sql, round_half_up_sql
+
+    toks = _TOKENS_SQL.format(e="text")
+    cols = []
+    for n in (1, 2, 3):
+        grams = toks if n == 1 else ngrams_sql(toks, n)
+        frac = round_half_up_sql(
+            f"CAST(len({grams}) - len(list_distinct({grams})) AS DOUBLE)"
+            f" / len({grams})", 6,
+        )
+        cols.append(
+            f"CASE WHEN len({grams}) > 0 THEN {frac} ELSE 0.0 END"
+            f" AS dup_{n}gram_frac"
+        )
+    sel = ",\n       ".join(cols)
+    return f"SELECT doc_id,\n       {sel}\nFROM documents"
+
+
+ORACLE_REPETITION_STATS = _repetition_oracle_sql()
+
+EXT_QUERIES["repetition_stats"] = q_repetition_stats
+EXT_ORACLES["repetition_stats"] = ORACLE_REPETITION_STATS
