@@ -241,3 +241,27 @@ def repetition_stats(
             .alias(f"dup_{n}gram_frac")
         )
     return df.select(*id_cols, *cols)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "sample:v1",
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive of a
+    training pipeline: per stratum, keep a row iff
+    ``portable_hash31(salt || key) % 10^6 < rate·10^6``. Hash-based (not
+    rand()) so the sample is reproducible across runs, engines, and
+    partitionings, and a row's fate never depends on cluster layout."""
+    from ..functions.columns import portable_hash31
+
+    h = portable_hash31(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))) % 1_000_000
+    expr = F.lit(int(default_rate * 1_000_000))
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * 1_000_000))
+        ).otherwise(expr)
+    return df.filter(h < expr)

@@ -2374,3 +2374,54 @@ ORACLE_REPETITION_STATS = _repetition_oracle_sql()
 
 EXT_QUERIES["repetition_stats"] = q_repetition_stats
 EXT_ORACLES["repetition_stats"] = ORACLE_REPETITION_STATS
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (data mixing): hash-gated per-stratum
+# rates — reproducible across engines and partitionings, replayed in SQL.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"html": 0.5, "layout": 0.25, "markdown": 1.0, "plain": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import stratified_hash_sample
+
+    t = transcripts_from_docs(spark, sf_dir)
+    e = extract_turns(t).withColumn(
+        "turn_key", F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"))
+    )
+    return stratified_hash_sample(
+        e, _SAMPLE_RATES, strata_col="payload_kind", key_col="turn_key"
+    ).select("conv_id", "turn_idx", "payload_kind", "span_count")
+
+
+def _stratified_sample_oracle_sql() -> str:
+    h = portable_hash31_sql(
+        "'sample:v1:' || conv_id || ':' || CAST(turn_idx AS VARCHAR)"
+    )
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * 1_000_000)}"
+        for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    return (
+        _ORACLE_DERIVE_REF
+        + f"""
+SELECT conv_id, turn_idx,
+       CASE WHEN kb < 40 THEN 'html' WHEN kb < 65 THEN 'layout'
+            WHEN kb < 90 THEN 'markdown' WHEN kb < 98 THEN 'plain'
+            ELSE 'empty' END AS payload_kind,
+       span_count
+FROM g
+WHERE ({h}) % 1000000 <
+      (CASE (CASE WHEN kb < 40 THEN 'html' WHEN kb < 65 THEN 'layout'
+                  WHEN kb < 90 THEN 'markdown' WHEN kb < 98 THEN 'plain'
+                  ELSE 'empty' END) {cases} ELSE 0 END)
+"""
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = _stratified_sample_oracle_sql()
+
+EXT_QUERIES["stratified_sample"] = q_stratified_sample
+EXT_ORACLES["stratified_sample"] = ORACLE_STRATIFIED_SAMPLE
