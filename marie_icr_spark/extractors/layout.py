@@ -86,7 +86,9 @@ def parse_layout_payload(text: str) -> tuple[list[str], list[list[int]]] | None:
         ):
             try:
                 boxes[i] = [int(v) for v in box]
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, OverflowError):
+                # OverflowError: int(float('inf')) via the stdlib-json
+                # fallback (orjson rejects Infinity at parse time)
                 return None
     return texts, boxes
 
@@ -120,14 +122,18 @@ def _line_numbers(boxes_list: list[list[int]], mode: str) -> list[int]:
         uniq = sorted({b[1] for b in boxes_list})
         rank = {y: i + 1 for i, y in enumerate(uniq)}
         return [rank[b[1]] for b in boxes_list]
-    # sparse: pure-Python band fast path → numpy fast path → general ladder
-    fast = fast_band_lines_py(boxes_list) if n <= 512 else None
-    if fast is not None:
-        return fast[1]
+    # sparse: band fast path (pure Python for small n, numpy above — the
+    # twins share preconditions, so a small-n miss goes STRAIGHT to the
+    # general ladder) → IoU-ladder clustering
+    if n <= 512:
+        fast = fast_band_lines_py(boxes_list)
+        if fast is not None:
+            return fast[1]
+    else:
+        fastnp = fast_band_lines(np.asarray(boxes_list, dtype=np.int64))
+        if fastnp is not None:
+            return [int(v) for v in fastnp[1]]
     boxes = np.asarray(boxes_list, dtype=np.int64)
-    fastnp = fast_band_lines(boxes)
-    if fastnp is not None:
-        return [int(v) for v in fastnp[1]]
     line_boxes = cluster_lines(boxes)
     return [int(v) for v in assign_lines(boxes, line_boxes)]
 

@@ -80,14 +80,7 @@ def rolling_fingerprint_sql(tokens_expr: str) -> str:
 
 def shingles(tokens: Column, n: int = 3) -> Column:
     """Distinct n-gram token shingles as strings ('w1 w2 w3')."""
-    k = F.size(tokens) - (n - 1)
-    joined = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
-    )
-    return F.array_distinct(
-        F.when(k > 0, joined).otherwise(F.array().cast("array<string>"))
-    )
+    return F.array_distinct(ngrams(tokens, n))
 
 
 def ngrams(tokens: Column, n: int) -> Column:
@@ -110,9 +103,4 @@ def ngrams_sql(tokens_expr: str, n: int) -> str:
 
 
 def shingles_sql(tokens_expr: str, n: int = 3) -> str:
-    parts = " || ' ' || ".join(f"({tokens_expr})[i+{j + 1}]" for j in range(n))
-    return (
-        f"list_distinct(CASE WHEN len({tokens_expr}) >= {n} THEN "
-        f"list_transform(range(len({tokens_expr}) - {n - 1}), i -> {parts}) "
-        f"ELSE CAST([] AS VARCHAR[]) END)"
-    )
+    return f"list_distinct{ngrams_sql(tokens_expr, n)}"

@@ -13,9 +13,9 @@ carries only a convergence flag, never data).
 
 Checkpoint durability: ``localCheckpoint`` stores blocks on executors —
 fine in local mode, but an executor loss on a real cluster invalidates it
-and fails the job. When a reliable checkpoint dir is configured
-(``spark.sparkContext.setCheckpointDir`` or the ``checkpoint_dir`` arg),
-rounds use reliable ``checkpoint()`` instead.
+and fails the job. Pass ``checkpoint_dir`` to switch rounds to reliable
+``checkpoint()`` (explicit opt-in only; the session-global checkpoint dir
+is never sniffed).
 """
 
 from __future__ import annotations
@@ -39,14 +39,18 @@ def connected_components(
 
     Output: (vertex long, component long). Isolated vertices don't appear
     (callers union them back with component = own id if needed).
-    ``checkpoint_dir`` (or a pre-configured SparkContext checkpoint dir)
-    switches per-round truncation to reliable, executor-loss-safe
-    checkpoints.
+    ``checkpoint_dir`` switches per-round truncation to reliable,
+    executor-loss-safe checkpoints.
     """
     sc = edges.sparkSession.sparkContext
     if checkpoint_dir is not None:
         sc.setCheckpointDir(checkpoint_dir)
-    reliable = sc.getCheckpointDir() is not None
+    # reliable mode ONLY on explicit request: sniffing the context-global
+    # checkpoint dir would silently flip every later call in the session
+    # (and leave per-round checkpoint files behind); callers on a real
+    # cluster pass checkpoint_dir. spark.cleaner.referenceTracking.
+    # cleanCheckpoints (on in session.py) reclaims superseded rounds.
+    reliable = checkpoint_dir is not None
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )

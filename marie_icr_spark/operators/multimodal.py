@@ -249,6 +249,11 @@ def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
         for pdf in batches:
             ids, idxs, blobs = [], [], []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                # equal-slice framing is a property of the FAKE container
+                # only; real containers (WAV etc.) decode dimensions but
+                # have no sliceable frame layout here
+                if content is None or bytes(content[: len(_MAGIC)]) != _MAGIC:
+                    continue
                 try:
                     d = _decode_one(content)
                 except NotImplementedError:

@@ -116,16 +116,21 @@ def class_majority_vote(
 
     Output: key_cols + (classification, vote_score, n_candidates).
     """
-    per_class = df.groupBy(*key_cols, class_col).agg(
+    aggs = [
         F.count(F.lit(1)).alias("votes"),
         round_half_up(F.avg(score_col), 4).alias("avg_score"),
         F.max(score_col).alias("max_score"),
+    ]
+    if tie_break == TIE_BEST_WITH_DIFF:
         # second-highest individual score within the class (null if only one
-        # candidate); list is bounded by the ensemble size, never corpus-sized
-        F.get(
-            F.sort_array(F.collect_list(F.col(score_col)), asc=False), 1
-        ).alias("_s2c"),
-    )
+        # candidate); list is bounded by the ensemble size, never
+        # corpus-sized — only best_with_diff needs it
+        aggs.append(
+            F.get(
+                F.sort_array(F.collect_list(F.col(score_col)), asc=False), 1
+            ).alias("_s2c")
+        )
+    per_class = df.groupBy(*key_cols, class_col).agg(*aggs)
     wk = Window.partitionBy(*key_cols)
     stats = (
         per_class.withColumn("_max_votes", F.max("votes").over(wk))

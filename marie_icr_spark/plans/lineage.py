@@ -56,6 +56,40 @@ def _lineage_dir(output_dir: str) -> str:
     return os.path.join(output_dir, "_lineage")
 
 
+EMPTY_BUCKET_HASH = "0"
+
+
+def _delete_bucket_dirs(
+    spark: SparkSession, output_dir: str, buckets: list[int]
+) -> None:
+    """Remove the partition dirs of the given buckets (Hadoop FS — works on
+    local FS and HDFS alike; on Iceberg this is the snapshot's job)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for b in buckets:
+        path = jvm.org.apache.hadoop.fs.Path(f"{output_dir}/bucket={b}")
+        fs = path.getFileSystem(conf)
+        if fs.exists(path):
+            fs.delete(path, True)
+
+
+def _read_results_safe(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Read the results table; a run whose every pending bucket was empty
+    writes only _SUCCESS, so schema inference can fail — return an empty
+    frame with the result schema instead of raising."""
+    try:
+        return spark.read.parquet(output_dir)
+    except Exception:
+        from ..operators.extraction import EXTRACTED_SCHEMA
+        from pyspark.sql import types as _T
+
+        schema = _T.StructType(
+            list(EXTRACTED_SCHEMA.fields)
+            + [_T.StructField("bucket", _T.IntegerType())]
+        )
+        return spark.createDataFrame([], schema)
+
+
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
@@ -135,6 +169,13 @@ def run_extraction_job(
     commits = 0
     processed: list[int] = []
     if pending:
+        # Dynamic overwrite only rewrites partitions that receive NEW rows:
+        # a pending bucket that is empty under the current snapshot would
+        # keep its stale files from a previous snapshot — and the read-back
+        # stats below would then re-certify data that no longer exists in
+        # the source. Drop every pending bucket's partition dir first
+        # (idempotent: they are all about to be rewritten or are stale).
+        _delete_bucket_dirs(spark, output_dir, pending)
         subset = (
             bucketed
             if len(pending) == n_buckets
@@ -153,9 +194,9 @@ def run_extraction_job(
 
     for i in range(0, len(pending), buckets_per_commit):
         batch = pending[i : i + buckets_per_commit]
+        stats = _read_results_safe(spark, output_dir)
         stats = (
-            spark.read.parquet(output_dir)
-            .filter(F.col("bucket").isin(batch))  # partition-pruned
+            stats.filter(F.col("bucket").isin(batch))  # partition-pruned
             .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("turn_count"),
@@ -171,19 +212,30 @@ def run_extraction_job(
             )
             .collect()
         )
-        lineage_rows = [
-            (
-                run_id,
-                snapshot,
-                int(r["bucket"]),
-                r["partition_hash"],
-                int(r["turn_count"]),
-                int(r["span_count"] or 0),
-                STATUS_COMPLETED,
-                None,
-            )
-            for r in stats
-        ]
+        by_bucket = {int(r["bucket"]): r for r in stats}
+        lineage_rows = []
+        for b in batch:
+            r = by_bucket.get(b)
+            if r is None:
+                # bucket empty under this snapshot: commit a zero-count row
+                # so resume treats it as done instead of pending forever
+                lineage_rows.append(
+                    (run_id, snapshot, b, EMPTY_BUCKET_HASH, 0, 0,
+                     STATUS_COMPLETED, None)
+                )
+            else:
+                lineage_rows.append(
+                    (
+                        run_id,
+                        snapshot,
+                        b,
+                        r["partition_hash"],
+                        int(r["turn_count"]),
+                        int(r["span_count"] or 0),
+                        STATUS_COMPLETED,
+                        None,
+                    )
+                )
         (
             spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
             .withColumn("committed_at", F.current_timestamp())

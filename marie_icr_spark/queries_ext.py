@@ -1689,14 +1689,19 @@ def q_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         j = lin.join(recomputed, "bucket", "full_outer")
+        # null-safe: an unmatched full_outer row (bucket in results but not
+        # lineage, or vice versa) must FAIL verification, not be skipped
         row = j.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("rc_turns")).alias("turns"),
             F.sum(F.col("rc_spans")).alias("spans"),
             F.min(
-                (F.col("partition_hash") == F.col("rc_hash"))
-                & (F.col("turn_count") == F.col("rc_turns"))
-                & (F.col("span_count") == F.col("rc_spans"))
+                F.coalesce(
+                    (F.col("partition_hash") == F.col("rc_hash"))
+                    & (F.col("turn_count") == F.col("rc_turns"))
+                    & (F.col("span_count") == F.col("rc_spans")),
+                    F.lit(False),
+                )
             ).alias("ok"),
         ).collect()[0]
         return spark.createDataFrame(
@@ -1751,7 +1756,7 @@ def _stub_argmax_sql(labels, docs_rel: str) -> str:
     toks = _TOKENS_SQL.format(e="text")
     labs = ", ".join(f"'{l}'" for l in labels)
     return f"""(
-  SELECT doc_id, l AS label,
+  SELECT doc_id, l AS "label",
          (floor(raw / tot * 1000000.0 + 0.5) / 1000000.0) AS score,
          CAST(raw AS BIGINT) AS raw_best, CAST(tot AS BIGINT) AS raw_total
   FROM (SELECT doc_id, l, raw, SUM(raw) OVER (PARTITION BY doc_id) tot,
@@ -1809,12 +1814,12 @@ def _classify_routed_oracle_sql() -> str:
         parts.append(
             f"""r_{name} AS (
   SELECT d.doc_id, d.text, p.label primary_label
-  FROM documents d JOIN prim p USING (doc_id) WHERE p.label = '{pat}'),
+  FROM documents d JOIN prim p USING (doc_id) WHERE p."label" = '{pat}'),
 s_{name} AS (SELECT * FROM {sub})"""
         )
     selects = "\nUNION ALL\n".join(
         f"""SELECT r.doc_id, r.primary_label, '{name}' AS classifier,
-       s.label AS sub_label, s.score AS sub_score
+       s."label" AS sub_label, s.score AS sub_score
 FROM r_{name} r JOIN s_{name} s USING (doc_id)"""
         for name, _, _ in _SUB_REGISTRY_SQLSPEC
     )

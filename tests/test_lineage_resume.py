@@ -109,6 +109,50 @@ def test_changed_source_snapshot_reprocesses_stale_buckets(
     assert res.count() == new.count()
 
 
+def test_bucket_emptied_by_new_snapshot_is_purged(spark, tmp_path_factory):
+    """Code-review regression: a bucket with rows under snapshot A and ZERO
+    rows under snapshot B must end up empty on disk (not keep stale files
+    re-certified by a fresh lineage row)."""
+    from pyspark.sql import functions as F
+
+    tdf, _ = synth_transcripts(n_convs=20, seed=3, hot_factor=4)
+    full = spark.createDataFrame(tdf, schema=TRANSCRIPT_SCHEMA)
+    out = str(tmp_path_factory.mktemp("results_purge"))
+    run_extraction_job(spark, full, out, n_buckets=4)
+    # new snapshot: keep only conversations landing in one bucket
+    from marie_icr_spark.plans.lineage import with_bucket
+
+    keep_bucket = 0
+    reduced = (
+        with_bucket(full, 4).filter(F.col("bucket") == keep_bucket).drop("bucket")
+    )
+    assert 0 < reduced.count() < full.count()
+    run_extraction_job(spark, reduced, out, n_buckets=4)
+    res = read_results(spark, out)
+    assert res.count() == reduced.count(), "stale rows from snapshot A survived"
+    assert {r["bucket"] for r in res.select("bucket").distinct().collect()} == {keep_bucket}
+    # emptied buckets carry zero-count completed lineage rows (resume is done)
+    lin = read_lineage(spark, out).toPandas()
+    latest = lin.sort_values("committed_at").groupby("bucket").last()
+    empties = latest[latest.index != keep_bucket]
+    assert (empties["turn_count"] == 0).all()
+
+
+def test_empty_source_completes_with_zero_rows(spark, tmp_path_factory):
+    """Code-review regression: a zero-row source must complete cleanly (no
+    parquet schema-inference crash) and commit zero-count lineage."""
+    empty = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+    out = str(tmp_path_factory.mktemp("results_empty"))
+    summary = run_extraction_job(spark, empty, out, n_buckets=4)
+    assert sorted(summary["buckets_processed"]) == list(range(4))
+    lin = read_lineage(spark, out).toPandas()
+    assert set(lin["bucket"]) == set(range(4))
+    assert (lin["turn_count"] == 0).all()
+    # second run is a noop
+    summary2 = run_extraction_job(spark, empty, out, n_buckets=4)
+    assert summary2["buckets_processed"] == []
+
+
 def test_rerun_on_complete_output_is_noop(spark, sdf, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("results_noop"))
     run_extraction_job(spark, sdf, out, n_buckets=4)
