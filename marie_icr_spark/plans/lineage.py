@@ -259,5 +259,22 @@ def run_extraction_job(
     }
 
 
-def read_results(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.parquet(output_dir)
+def read_results(
+    spark: SparkSession, output_dir: str, committed_only: bool = False
+) -> DataFrame:
+    """Read the results table. ``committed_only=True`` gives readers the
+    Iceberg-snapshot-style consistency the plain-parquet layout lacks: only
+    buckets with a completed lineage row are visible, so data written by a
+    run that crashed before its lineage commit stays hidden until the
+    resumed run commits it (the data↔lineage crash window closes at the
+    reader)."""
+    df = spark.read.parquet(output_dir)
+    if not committed_only:
+        return df
+    committed = (
+        read_lineage(spark, output_dir)
+        .filter(F.col("status") == STATUS_COMPLETED)
+        .select("bucket")
+        .distinct()
+    )
+    return df.join(F.broadcast(committed), "bucket", "left_semi")

@@ -109,6 +109,25 @@ def test_changed_source_snapshot_reprocesses_stale_buckets(
     assert res.count() == new.count()
 
 
+def test_committed_only_read_hides_uncommitted_buckets(spark, sdf, tmp_path_factory):
+    """Reader-side atomicity: after a kill between data write and lineage
+    commit, committed_only readers see exactly the committed buckets."""
+    out = str(tmp_path_factory.mktemp("results_snapshot"))
+    with pytest.raises(SimulatedFailure):
+        run_extraction_job(
+            spark, sdf, out, n_buckets=8, buckets_per_commit=3,
+            fail_after_commits=1,
+        )
+    done = completed_buckets(spark, out)
+    visible = read_results(spark, out, committed_only=True)
+    assert {
+        r["bucket"] for r in visible.select("bucket").distinct().collect()
+    } == done
+    # the raw read sees more (the one-pass write landed all buckets)
+    raw = read_results(spark, out)
+    assert raw.count() > visible.count()
+
+
 def test_bucket_emptied_by_new_snapshot_is_purged(spark, tmp_path_factory):
     """Code-review regression: a bucket with rows under snapshot A and ZERO
     rows under snapshot B must end up empty on disk (not keep stale files
