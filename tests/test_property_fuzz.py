@@ -95,3 +95,43 @@ def test_cluster_assign_total_and_deterministic(boxes):
         out = assign_lines(b, lines)
         assert (out >= 1).all() and (out <= len(lines)).all()
         assert (cluster_lines(b) == lines).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(boxes_strategy)
+def test_lean_text_path_equals_struct_path_all_modes(boxes):
+    """extract_turn(with_structs=False) must be byte-identical in text and
+    span_count to the struct path, for every PSM mode, on arbitrary boxes."""
+    from marie_icr_spark.extractors.layout import PSM_MODES
+
+    payload = json.dumps(
+        [{"text": f"w{i}", "box": list(b)} for i, b in enumerate(boxes)]
+    )
+    for mode in PSM_MODES:
+        a = extract_turn(payload, mode=mode, with_structs=True)
+        b_ = extract_turn(payload, mode=mode, with_structs=False)
+        assert a.extracted_text == b_.extracted_text, mode
+        assert a.span_count == b_.span_count, mode
+        assert b_.words == [] and b_.lines == []
+
+
+@settings(max_examples=100, deadline=None)
+@given(boxes_strategy)
+def test_py_band_fast_path_equals_numpy_twin(boxes):
+    """fast_band_lines_py and fast_band_lines must agree on both the
+    None/hit decision and the per-word line numbers."""
+    from marie_icr_spark.extractors.boxmath import (
+        fast_band_lines,
+        fast_band_lines_py,
+    )
+
+    b = [list(x) for x in boxes]
+    py = fast_band_lines_py(b)
+    np_ = fast_band_lines(np.array(b, dtype=np.int64).reshape(-1, 4)) if b else None
+    if py is None or np_ is None:
+        assert py is None and (np_ is None or not b)
+    else:
+        assert py[1] == [int(v) for v in np_[1]]
+        assert [list(map(int, r)) for r in py[0]] == [
+            [int(v) for v in row] for row in np_[0]
+        ]
