@@ -22,7 +22,7 @@ import json
 import sys
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="transcript parquet/table path")
     ap.add_argument("--output", required=True, help="results output path")
@@ -42,7 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     from marie_icr_spark.operators.extraction import salt_repartition
     from marie_icr_spark.plans.lineage import run_extraction_job
 
-    spark = SparkSession.builder.appName("marie-icr-spark-extract").getOrCreate()
+    owns_session = spark is None
+    if owns_session:
+        spark = SparkSession.builder.appName(
+            "marie-icr-spark-extract"
+        ).getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     transcripts = spark.read.parquet(args.input)
@@ -56,9 +60,11 @@ def main(argv: list[str] | None = None) -> int:
         run_id=args.run_id,
         n_buckets=args.n_buckets,
         buckets_per_commit=args.buckets_per_commit,
+        mode=args.mode,
     )
     print(json.dumps(summary, default=str))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

@@ -140,6 +140,7 @@ def run_extraction_job(
     n_buckets: int = 16,
     buckets_per_commit: int = 4,
     fail_after_commits: int | None = None,
+    mode: str = "sparse",
 ) -> dict:
     """Extract all pending buckets of ``transcripts`` into ``output_dir``.
 
@@ -182,7 +183,7 @@ def run_extraction_job(
             else bucketed.filter(F.col("bucket").isin(pending))
         )
         # recompute bucket post-extraction instead of joining — exact & free
-        extracted = extract_turns(subset).withColumn(
+        extracted = extract_turns(subset, mode=mode).withColumn(
             "bucket",
             F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int"),
         )
