@@ -37,6 +37,10 @@ from .tables import load_table
 WORDS_PER_LINE = 8
 CONV_MOD = 89  # documents → conversations: conv = doc_id % 89
 EPOCH = "2025-01-01 00:00:00"
+# unix seconds of EPOCH **as UTC**, pinned as an integer so ts derivation
+# never depends on the session timezone (unix_timestamp parses string
+# literals in session-local time — a silent env dependency otherwise)
+EPOCH_UNIX = 1_735_689_600
 
 TRANSCRIPT_SCHEMA = T.StructType(
     [
@@ -193,9 +197,7 @@ def transcripts_from_docs(
         .when(kb < 65, F.lit("pdf_reader"))
         .otherwise(F.lit(""))
     )
-    ts = F.timestamp_seconds(
-        F.unix_timestamp(F.lit(EPOCH), "yyyy-MM-dd HH:mm:ss") + F.col("vid")
-    )
+    ts = F.timestamp_seconds(F.lit(EPOCH_UNIX) + F.col("vid"))
 
     return d.select(
         F.col("conv_id"),
