@@ -47,24 +47,39 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = SparkSession.builder.appName(
             "marie-icr-spark-extract"
         ).getOrCreate()
+    # save/restore confs we (and run_extraction_job) touch, so an injected
+    # session (tests, notebooks) is not permanently mutated
+    _touched = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.sources.partitionOverwriteMode",
+    )
+    saved = {k: spark.conf.get(k, None) for k in _touched}
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
-    transcripts = spark.read.parquet(args.input)
-    if args.salt_partitions > 0:
-        transcripts = salt_repartition(transcripts, args.salt_partitions)
+    try:
+        transcripts = spark.read.parquet(args.input)
+        if args.salt_partitions > 0:
+            transcripts = salt_repartition(transcripts, args.salt_partitions)
 
-    summary = run_extraction_job(
-        spark,
-        transcripts,
-        args.output,
-        run_id=args.run_id,
-        n_buckets=args.n_buckets,
-        buckets_per_commit=args.buckets_per_commit,
-        mode=args.mode,
-    )
-    print(json.dumps(summary, default=str))
-    if owns_session:
-        spark.stop()
+        summary = run_extraction_job(
+            spark,
+            transcripts,
+            args.output,
+            run_id=args.run_id,
+            n_buckets=args.n_buckets,
+            buckets_per_commit=args.buckets_per_commit,
+            mode=args.mode,
+        )
+        print(json.dumps(summary, default=str))
+    finally:
+        if owns_session:
+            spark.stop()
+        else:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
     return 0
 
 

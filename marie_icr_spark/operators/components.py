@@ -51,6 +51,16 @@ def connected_components(
     # cluster pass checkpoint_dir. spark.cleaner.referenceTracking.
     # cleanCheckpoints (on in session.py) reclaims superseded rounds.
     reliable = checkpoint_dir is not None
+    if not reliable and sc.getCheckpointDir() is not None:
+        import warnings
+
+        warnings.warn(
+            "connected_components: a session checkpoint dir is set but "
+            "checkpoint_dir was not passed — rounds use executor-local "
+            "checkpoints (lost on executor failure); pass checkpoint_dir "
+            "for reliable mode",
+            stacklevel=2,
+        )
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )

@@ -63,31 +63,54 @@ def _delete_bucket_dirs(
     spark: SparkSession, output_dir: str, buckets: list[int]
 ) -> None:
     """Remove the partition dirs of the given buckets (Hadoop FS — works on
-    local FS and HDFS alike; on Iceberg this is the snapshot's job)."""
+    local FS and HDFS alike; on Iceberg this is the snapshot's job). One
+    globStatus lists the existing dirs, then only the intersection is
+    deleted — O(existing) RPCs, not O(n_buckets) exists() probes (matters
+    at --n-buckets 4096 on object stores)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for b in buckets:
-        path = jvm.org.apache.hadoop.fs.Path(f"{output_dir}/bucket={b}")
-        fs = path.getFileSystem(conf)
-        if fs.exists(path):
-            fs.delete(path, True)
+    glob = jvm.org.apache.hadoop.fs.Path(f"{output_dir}/bucket=*")
+    fs = glob.getFileSystem(conf)
+    try:
+        statuses = fs.globStatus(glob)
+    except Exception:
+        return  # output dir doesn't exist yet
+    if statuses is None:
+        return
+    wanted = {f"bucket={b}" for b in buckets}
+    for st in statuses:
+        p = st.getPath()
+        if p.getName() in wanted:
+            fs.delete(p, True)
+
+
+def _empty_results_frame(spark: SparkSession) -> DataFrame:
+    from ..operators.extraction import EXTRACTED_SCHEMA
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        list(EXTRACTED_SCHEMA.fields)
+        + [_T.StructField("bucket", _T.IntegerType())]
+    )
+    return spark.createDataFrame([], schema)
 
 
 def _read_results_safe(spark: SparkSession, output_dir: str) -> DataFrame:
     """Read the results table; a run whose every pending bucket was empty
     writes only _SUCCESS, so schema inference can fail — return an empty
-    frame with the result schema instead of raising."""
+    frame with the result schema for exactly that case. Genuine I/O or
+    corruption errors still raise (swallowing them would let the commit
+    loop certify zero-count lineage over populated partitions)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(output_dir)
-    except Exception:
-        from ..operators.extraction import EXTRACTED_SCHEMA
-        from pyspark.sql import types as _T
-
-        schema = _T.StructType(
-            list(EXTRACTED_SCHEMA.fields)
-            + [_T.StructField("bucket", _T.IntegerType())]
-        )
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        msg = str(e)
+        if "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg \
+                or "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return _empty_results_frame(spark)
+        raise
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -261,20 +284,33 @@ def run_extraction_job(
 
 
 def read_results(
-    spark: SparkSession, output_dir: str, committed_only: bool = False
+    spark: SparkSession,
+    output_dir: str,
+    committed_only: bool = False,
+    snapshot: str | None = None,
 ) -> DataFrame:
     """Read the results table. ``committed_only=True`` gives readers the
     Iceberg-snapshot-style consistency the plain-parquet layout lacks: only
-    buckets with a completed lineage row are visible, so data written by a
-    run that crashed before its lineage commit stays hidden until the
-    resumed run commits it (the data↔lineage crash window closes at the
-    reader)."""
-    df = spark.read.parquet(output_dir)
+    buckets with a completed lineage row FOR THE TARGET SNAPSHOT are
+    visible — ``snapshot`` explicitly, else the snapshot of the newest
+    commit — so data written by a run that crashed before its lineage
+    commit stays hidden until the resumed run commits it. Remaining window
+    (documented): a run upgrading to a NEW snapshot that crashes before its
+    first commit leaves old-snapshot lineage pointing at purged buckets;
+    Iceberg's atomic snapshot swap closes that in production."""
+    df = _read_results_safe(spark, output_dir)
     if not committed_only:
         return df
+    lin = read_lineage(spark, output_dir).filter(
+        F.col("status") == STATUS_COMPLETED
+    )
+    if snapshot is None:
+        latest = lin.orderBy(F.col("committed_at").desc()).limit(1).collect()
+        if not latest:
+            return df.limit(0)
+        snapshot = latest[0]["source_snapshot_id"]
     committed = (
-        read_lineage(spark, output_dir)
-        .filter(F.col("status") == STATUS_COMPLETED)
+        lin.filter(F.col("source_snapshot_id") == snapshot)
         .select("bucket")
         .distinct()
     )

@@ -1690,18 +1690,26 @@ def q_lineage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         j = lin.join(recomputed, "bucket", "full_outer")
         # null-safe: an unmatched full_outer row (bucket in results but not
-        # lineage, or vice versa) must FAIL verification, not be skipped
+        # lineage, or vice versa) must FAIL verification — EXCEPT a
+        # zero-count lineage row for a bucket that is legitimately empty on
+        # disk (no recomputed row), which verifies as correct.
+        data_match = (
+            (F.col("partition_hash") == F.col("rc_hash"))
+            & (F.col("turn_count") == F.col("rc_turns"))
+            & (F.col("span_count") == F.col("rc_spans"))
+        )
+        empty_ok = (
+            (F.col("partition_hash") == F.lit(L.EMPTY_BUCKET_HASH))
+            & (F.col("turn_count") == 0)
+            & F.col("rc_turns").isNull()
+        )
         row = j.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("rc_turns")).alias("turns"),
             F.sum(F.col("rc_spans")).alias("spans"),
             F.min(
-                F.coalesce(
-                    (F.col("partition_hash") == F.col("rc_hash"))
-                    & (F.col("turn_count") == F.col("rc_turns"))
-                    & (F.col("span_count") == F.col("rc_spans")),
-                    F.lit(False),
-                )
+                F.coalesce(data_match, F.lit(False))
+                | F.coalesce(empty_ok, F.lit(False))
             ).alias("ok"),
         ).collect()[0]
         return spark.createDataFrame(

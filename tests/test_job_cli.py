@@ -3,11 +3,12 @@ resumable job → results + lineage on disk. Covers the north rule's launch
 shape without invoking the spark-submit binary (main() runs in-process)."""
 
 import json
+import pathlib
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo/jobs")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "jobs"))
 import run_extraction  # noqa: E402
 
 from marie_icr_spark.plans.lineage import read_lineage, read_results

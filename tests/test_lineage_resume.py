@@ -170,6 +170,9 @@ def test_empty_source_completes_with_zero_rows(spark, tmp_path_factory):
     # second run is a noop
     summary2 = run_extraction_job(spark, empty, out, n_buckets=4)
     assert summary2["buckets_processed"] == []
+    # public readers of the zero-row output must not crash on inference
+    assert read_results(spark, out).count() == 0
+    assert read_results(spark, out, committed_only=True).count() == 0
 
 
 def test_rerun_on_complete_output_is_noop(spark, sdf, tmp_path_factory):
