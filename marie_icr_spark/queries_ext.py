@@ -481,7 +481,7 @@ def q_event_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EVENT_SPANS = """
 WITH f AS (
-  SELECT user_id, event_type,
+  SELECT user_id, event_type, ts, event_id,
          CASE WHEN lag(event_type) OVER w IS NULL
                    OR lag(event_type) OVER w != event_type
               THEN 1 ELSE 0 END chg
@@ -489,7 +489,7 @@ WITH f AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (SELECT user_id, event_type,
-        CAST(SUM(chg) OVER (PARTITION BY user_id
+        CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS UNBOUNDED PRECEDING) AS INTEGER) span_id
       FROM f)
 SELECT user_id, span_id, event_type AS label,
