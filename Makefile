@@ -1,4 +1,9 @@
-.PHONY: test bench scale smoke
+.PHONY: test bench scale smoke sweep
+
+# full driver-style oracle sweep at sf0.1 (catches scale-sensitive oracle
+# bugs the driver's sf0.01 gate cannot; budget ~20 min)
+sweep:
+	python sweep_oracles.py --sf-dir /root/testdata/sf0.1
 
 test:
 	python -m pytest tests/ -x -q

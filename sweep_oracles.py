@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Driver-style oracle sweep at any scale factor.
+
+Mirrors the driver's CORRECTNESS gate (row count + stringified value hash,
+columns sorted by name) over every ``__spark_entry__.queries()`` entry —
+but runnable at sf0.1, where scale-sensitive oracle bugs surface that the
+driver's sf0.01 gate cannot see (e.g. DuckDB window order under parallel
+scans).
+
+Usage: python sweep_oracles.py [--sf-dir /root/testdata/sf0.1]
+                               [--only name1,name2] [--cpus 16]
+Exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import sys
+import time
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _norm(df):
+    cols = sorted(df.columns)
+    return df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+
+
+def _vhash(df) -> str:
+    return hashlib.md5(df.astype(str).to_csv(index=False).encode()).hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", str(args.cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+
+    names = sorted(E.queries())
+    if args.only:
+        names = [n for n in names if n in set(args.only.split(","))]
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = _norm(qs[name](spark, args.sf_dir).toPandas())
+            odf = _norm(con.execute(oracles[name]).fetchdf())
+            ok = len(sdf) == len(odf) and _vhash(sdf) == _vhash(odf)
+            status = "ok" if ok else "MISMATCH"
+            if not ok:
+                failures.append(name)
+            print(f"{name:28s} {status:8s} rows={len(sdf)}/{len(odf)} "
+                  f"{time.time() - t0:5.1f}s", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            failures.append(name)
+            print(f"{name:28s} ERROR    {str(e)[:120]}", flush=True)
+    print(f"\n{len(names) - len(failures)}/{len(names)} green at {args.sf_dir}")
+    if failures:
+        print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
