@@ -48,12 +48,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "marie-icr-spark-extract"
         ).getOrCreate()
     # save/restore confs we (and run_extraction_job) touch, so an injected
-    # session (tests, notebooks) is not permanently mutated
+    # session (tests, notebooks) is not permanently mutated. conf.get(k,
+    # default) resolves built-in defaults (never None for confs like
+    # adaptive.enabled), so "was it explicitly set" must come from the
+    # session SQLConf's settings map — only then is unset() the right
+    # restore.
     _touched = (
         "spark.sql.adaptive.enabled",
         "spark.sql.sources.partitionOverwriteMode",
     )
-    saved = {k: spark.conf.get(k, None) for k in _touched}
+
+    def _saved_value(k):
+        try:
+            explicitly_set = spark._jsparkSession.sessionState().conf().contains(k)
+        except Exception:
+            explicitly_set = True  # conservative: restore by value
+        return spark.conf.get(k, None) if explicitly_set else None
+
+    saved = {k: _saved_value(k) for k in _touched}
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     try:

@@ -43,6 +43,7 @@ def connected_components(
     executor-loss-safe checkpoints.
     """
     sc = edges.sparkSession.sparkContext
+    prev_ckpt_dir = sc.getCheckpointDir()
     if checkpoint_dir is not None:
         sc.setCheckpointDir(checkpoint_dir)
     # reliable mode ONLY on explicit request: sniffing the context-global
@@ -74,6 +75,25 @@ def connected_components(
         reliable,
     )
 
+    try:
+        labels = _cc_rounds(sym, labels, max_iter, reliable)
+    finally:
+        # restore the caller's checkpoint dir: setCheckpointDir mutates
+        # session-global state, and leaving it flipped would silently make
+        # a LATER bare connected_components() call trip the warning path
+        # (or route unrelated checkpoints here). Spark cannot UNSET the
+        # dir, so if none was set before, ours necessarily stays — the
+        # eager per-round checkpoints have already materialized, so this
+        # only affects subsequent callers, not the returned frame.
+        if checkpoint_dir is not None and prev_ckpt_dir is not None \
+                and prev_ckpt_dir != checkpoint_dir:
+            sc.setCheckpointDir(prev_ckpt_dir)
+    return labels
+
+
+def _cc_rounds(
+    sym: DataFrame, labels: DataFrame, max_iter: int, reliable: bool
+) -> DataFrame:
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["v"] == labels["vertex"])

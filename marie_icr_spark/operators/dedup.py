@@ -74,7 +74,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    max_shingle_df: int = MAX_SHINGLE_DF,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
 
@@ -82,18 +82,26 @@ def jaccard_pairs(
     hash-agg on (a, b). Shingles with document frequency > ``max_shingle_df``
     are stopworded out of both the index and the set sizes (bounds the
     posting-list self-join at d²·|hot shingles|).
+
+    NOTE (semantics vs the uncapped form): the default cap changes the
+    Jaccard universe — scores are exact over the *DF-filtered* shingle set.
+    Pass ``max_shingle_df=None`` for the uncapped exact semantics (safe only
+    when no shingle is near-universal; at corpus scale keep the cap).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6.
     """
     sets_ = shingle_sets(df, id_col, text_col, n)
     inv_all = sets_.select("did", F.explode("sh").alias("s"))
-    # document frequency per shingle (sh is distinct per doc by construction)
-    keep = (
-        inv_all.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("s")
-    )
-    inv = inv_all.join(keep, "s")
+    if max_shingle_df is None:
+        inv = inv_all
+    else:
+        # document frequency per shingle (sh is distinct per doc by construction)
+        keep = (
+            inv_all.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        inv = inv_all.join(keep, "s")
     sizes = inv.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         inv.alias("x")
@@ -246,7 +254,7 @@ def _cosine_pair(xq, yq, xn, yn):
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float,
-    max_bucket_size: int = MAX_BUCKET_SIZE,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed (the 100-TB shape).
 
@@ -256,9 +264,12 @@ def embedding_near_dup_pairs(
     are verified with the exact quantized cosine — the same
     candidates → exact-verify pattern as :func:`minhash_lsh_pairs`. Buckets
     larger than ``max_bucket_size`` are dropped before the self-join
-    (degenerate-cluster guard). Pairs whose vectors share no bucket are not
-    reported (the documented recall trade vs the O(n²) exact form, which
-    survives as :func:`embedding_near_dup_pairs_exact` for cross-checks).
+    (degenerate-cluster guard; ``None`` disables the guard — candidates are
+    still LSH-bucketed, so full-recall exactness needs
+    :func:`embedding_near_dup_pairs_exact`). Pairs whose vectors share no
+    bucket are not reported (the documented recall trade vs the O(n²) exact
+    form, which survives as :func:`embedding_near_dup_pairs_exact` for
+    cross-checks).
     Output: (id_a, id_b, cosine) with id_a < id_b, cosine rounded 6.
     """
     from .similarity import lsh_bucket
@@ -270,13 +281,16 @@ def embedding_near_dup_pairs(
         "nrm",
         F.posexplode("buckets").alias("tbl", "bucket"),
     )
-    small = (
-        pe.groupBy("tbl", "bucket")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") <= max_bucket_size)
-        .select("tbl", "bucket")
-    )
-    keys = pe.join(small, ["tbl", "bucket"]).select("tbl", "bucket", "vid")
+    if max_bucket_size is None:
+        keys = pe.select("tbl", "bucket", "vid")
+    else:
+        small = (
+            pe.groupBy("tbl", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .select("tbl", "bucket")
+        )
+        keys = pe.join(small, ["tbl", "bucket"]).select("tbl", "bucket", "vid")
     cand = (
         keys.alias("x")
         .join(keys.alias("y"), ["tbl", "bucket"])

@@ -137,6 +137,10 @@ def _decode_bmp(content: bytes) -> dict:
         w, h = struct.unpack_from("<ii", content, 18)
     else:  # BITMAPCOREHEADER
         w, h = struct.unpack_from("<hh", content, 18)
+    # height<0 is legal (top-down rows) but width must be positive — a
+    # negative/zero width is hostile input, not a layout variant
+    if w <= 0 or h == 0:
+        return _bad("bad bmp dims")
     data_off = struct.unpack_from("<I", content, 10)[0]
     return _ok(w, abs(h), 1, max(len(content) - data_off, 0))
 

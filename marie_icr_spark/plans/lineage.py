@@ -71,10 +71,14 @@ def _delete_bucket_dirs(
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     glob = jvm.org.apache.hadoop.fs.Path(f"{output_dir}/bucket=*")
     fs = glob.getFileSystem(conf)
-    try:
-        statuses = fs.globStatus(glob)
-    except Exception:
-        return  # output dir doesn't exist yet
+    # Only the missing-output-dir case is benign; any OTHER FS error must
+    # fail the run — silently skipping the purge would let stale-snapshot
+    # files survive in an empty-under-new-snapshot bucket, and the commit
+    # loop's read-back stats would then re-certify that stale data (the
+    # same raise-on-corruption policy as _read_results_safe).
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(output_dir)):
+        return
+    statuses = fs.globStatus(glob)
     if statuses is None:
         return
     wanted = {f"bucket={b}" for b in buckets}

@@ -1,0 +1,342 @@
+"""Atomic data+lineage commits over plain files: manifest-swap catalog.
+
+Closes the documented parquet atomicity window of :mod:`.lineage`
+(``lineage.py`` ``read_results`` docstring): with dynamic partition
+overwrite, a run upgrading to a new source snapshot rewrites bucket dirs in
+place, so a crash can leave readers pointing at purged/partial partitions.
+This module rebuilds the transactional complete/fail contract of the
+reference's scheduler (``/root/reference/marie/scheduler/psql.py:811-868`` —
+job completion flips atomically, never half-visible) the way Iceberg's
+hadoop catalog does it, with no extra jars:
+
+* data files are **immutable**: each run writes to a fresh
+  ``data/<run_id>/bucket=*`` directory and never touches prior runs' files;
+* the table state is a **versioned manifest** (``_commit/manifest-v<N>.json``,
+  written complete + fsynced before use) mapping every committed bucket to
+  (run_id, source snapshot, partition hash, counts);
+* visibility flips by **atomically renaming** a tiny pointer file
+  (``_commit/CURRENT``) to the new version — POSIX rename is atomic, so a
+  reader loading CURRENT sees either the old or the new manifest in full,
+  never a mix. A crash at ANY point before the rename leaves CURRENT (and
+  every data file it references) untouched.
+
+Concurrent writers are handled optimistically: ``open(manifest-vN, "x")``
+loses to an existing vN (another writer committed first) → reload + retry,
+the same compare-and-swap Iceberg does on its version file.
+
+Resume = buckets absent from CURRENT (or committed under a different source
+snapshot) are re-extracted into a new run dir; a crashed run's orphan dir is
+simply never referenced and is reclaimed by :func:`vacuum`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lineage import (
+    LINEAGE_SCHEMA,
+    STATUS_COMPLETED,
+    SimulatedFailure,
+    _empty_results_frame,
+    _lineage_dir,
+    source_fingerprint,
+    with_bucket,
+)
+
+_COMMIT_DIR = "_commit"
+_CURRENT = "CURRENT"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the manifest version we raced for."""
+
+
+# -- manifest file plumbing (driver-side: one tiny JSON per commit) ---------
+
+
+def _commit_dir(output_dir: str) -> str:
+    return os.path.join(output_dir, _COMMIT_DIR)
+
+
+def _manifest_path(output_dir: str, version: int) -> str:
+    return os.path.join(_commit_dir(output_dir), f"manifest-v{version}.json")
+
+
+def _fsync_write(path: str, payload: str) -> None:
+    """Write complete-then-durable: content is fully on disk before any
+    pointer can reference it (crash between write and rename is harmless)."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def current_version(output_dir: str) -> int:
+    """Version in the CURRENT pointer; 0 = no commit yet."""
+    try:
+        with open(os.path.join(_commit_dir(output_dir), _CURRENT)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def load_manifest(output_dir: str, version: int | None = None) -> dict:
+    """The manifest the CURRENT pointer designates (or an explicit version —
+    time travel, exactly like reading an old Iceberg snapshot).
+
+    Shape: ``{"version": N, "buckets": {"<b>": {"run_id", "snapshot",
+    "partition_hash", "turn_count", "span_count"}}}``; ``run_id`` is None
+    for a bucket that is legitimately empty under its snapshot.
+    """
+    v = current_version(output_dir) if version is None else version
+    if v == 0:
+        return {"version": 0, "buckets": {}}
+    with open(_manifest_path(output_dir, v)) as f:
+        return json.load(f)
+
+
+def _swap_current(output_dir: str, version: int) -> None:
+    cdir = _commit_dir(output_dir)
+    tmp = os.path.join(cdir, f"{_CURRENT}.tmp.{uuid.uuid4().hex}")
+    _fsync_write(tmp, str(version))
+    # THE commit point: atomic on POSIX; readers see old or new, never a mix
+    os.rename(tmp, os.path.join(cdir, _CURRENT))
+
+
+def _commit_manifest(output_dir: str, base: dict, updates: dict) -> dict:
+    """Compare-and-swap one manifest version on top of ``base``.
+
+    Raises :class:`CommitConflict` if another writer claimed the version
+    first (caller reloads CURRENT and retries on fresh state).
+    """
+    os.makedirs(_commit_dir(output_dir), exist_ok=True)
+    new_version = int(base.get("version", 0)) + 1
+    manifest = {
+        "version": new_version,
+        "buckets": {**base.get("buckets", {}), **updates},
+    }
+    path = _manifest_path(output_dir, new_version)
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as e:
+        raise CommitConflict(f"manifest v{new_version} already exists") from e
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(json.dumps(manifest, sort_keys=True))
+        f.flush()
+        os.fsync(f.fileno())
+    _swap_current(output_dir, new_version)
+    return manifest
+
+
+# -- table reads (manifest-scoped: snapshot isolation for free) -------------
+
+
+def _run_dir(output_dir: str, run_id: str) -> str:
+    return os.path.join(output_dir, "data", run_id)
+
+
+def read_results(
+    spark: SparkSession, output_dir: str, version: int | None = None
+) -> DataFrame:
+    """Rows of exactly the buckets the (CURRENT or pinned) manifest commits.
+
+    One ``spark.read`` per referenced run dir (runs are few — one per
+    writer invocation), each with ``basePath`` so the ``bucket=`` partition
+    column survives and partition pruning applies; uncommitted/orphaned run
+    dirs are invisible by construction.
+    """
+    m = load_manifest(output_dir, version)
+    by_run: dict[str, list[int]] = {}
+    for b, ent in m["buckets"].items():
+        if ent["run_id"] is not None and ent["turn_count"] > 0:
+            by_run.setdefault(ent["run_id"], []).append(int(b))
+    frames = [
+        spark.read.option("basePath", _run_dir(output_dir, rid)).parquet(
+            *[os.path.join(_run_dir(output_dir, rid), f"bucket={b}") for b in bs]
+        )
+        for rid, bs in sorted(by_run.items())
+    ]
+    if not frames:
+        return _empty_results_frame(spark)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def vacuum(output_dir: str) -> list[str]:
+    """Delete run dirs not referenced by the CURRENT manifest (orphans from
+    crashed or superseded runs) and manifests older than CURRENT. Returns
+    the removed paths. Never touches referenced data — safe to run any time
+    no OTHER writer is mid-commit (same contract as Iceberg's
+    expire_snapshots + remove_orphan_files)."""
+    import shutil
+
+    removed: list[str] = []
+    m = load_manifest(output_dir)
+    live = {
+        e["run_id"] for e in m["buckets"].values() if e["run_id"] is not None
+    }
+    data = os.path.join(output_dir, "data")
+    if os.path.isdir(data):
+        for rid in sorted(os.listdir(data)):
+            if rid not in live:
+                p = os.path.join(data, rid)
+                shutil.rmtree(p)
+                removed.append(p)
+    cdir = _commit_dir(output_dir)
+    if os.path.isdir(cdir):
+        cur = m["version"]
+        for name in sorted(os.listdir(cdir)):
+            if name.startswith("manifest-v"):
+                v = int(name[len("manifest-v"):-len(".json")])
+                if v < cur:
+                    p = os.path.join(cdir, name)
+                    os.remove(p)
+                    removed.append(p)
+    return removed
+
+
+# -- the atomic extraction job ----------------------------------------------
+
+
+def run_extraction_job_atomic(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    output_dir: str,
+    run_id: str | None = None,
+    n_buckets: int = 16,
+    buckets_per_commit: int = 4,
+    fail_after_commits: int | None = None,
+    mode: str = "sparse",
+) -> dict:
+    """:func:`..lineage.run_extraction_job` with atomic visibility.
+
+    Identical scale shape — ONE source scan extracts all pending buckets,
+    lineage commits in ``buckets_per_commit`` units with stats recomputed
+    from the WRITTEN partitions — but data lands in an immutable per-run
+    dir and each unit becomes visible via a manifest swap, so a kill at any
+    point leaves readers on the previous fully-consistent version (the
+    kill/rerun test drives ``fail_after_commits`` through every position).
+    Lineage parquet rows are appended BEFORE the swap: the manifest is the
+    visibility authority, the lineage table the audit log.
+    """
+    from ..operators.extraction import extract_turns
+
+    run_id = run_id or uuid.uuid4().hex
+    snapshot = source_fingerprint(transcripts)
+
+    manifest = load_manifest(output_dir)
+    done = {
+        int(b)
+        for b, e in manifest["buckets"].items()
+        if e["snapshot"] == snapshot
+    }
+    pending = [b for b in range(n_buckets) if b not in done]
+
+    commits = 0
+    processed: list[int] = []
+    if pending:
+        bucketed = with_bucket(transcripts, n_buckets)
+        subset = (
+            bucketed
+            if len(pending) == n_buckets
+            else bucketed.filter(F.col("bucket").isin(pending))
+        )
+        extracted = extract_turns(subset, mode=mode).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int"),
+        )
+        rdir = _run_dir(output_dir, run_id)
+        extracted.write.mode("errorifexists").partitionBy("bucket").parquet(rdir)
+        if fail_after_commits == 0:
+            # kill-test hook: die after the (invisible) data write, before
+            # any manifest swap — the hardest crash position
+            raise SimulatedFailure(f"injected failure before first commit (run {run_id})")
+        written = spark.read.option("basePath", rdir).parquet(rdir)
+
+        for i in range(0, len(pending), buckets_per_commit):
+            batch = pending[i : i + buckets_per_commit]
+            stats = (
+                written.filter(F.col("bucket").isin(batch))  # partition-pruned
+                .groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("turn_count"),
+                    F.sum("span_count").alias("span_count"),
+                    F.format_string(
+                        "%x",
+                        F.bit_xor(
+                            F.xxhash64(
+                                F.col("conv_id"),
+                                F.col("turn_idx"),
+                                F.col("extracted_text"),
+                            )
+                        ),
+                    ).alias("partition_hash"),
+                )
+                .collect()
+            )
+            by_bucket = {int(r["bucket"]): r for r in stats}
+            updates: dict[str, dict] = {}
+            lineage_rows = []
+            for b in batch:
+                r = by_bucket.get(b)
+                if r is None:
+                    # empty under this snapshot: committed with no data dir
+                    updates[str(b)] = {
+                        "run_id": None,
+                        "snapshot": snapshot,
+                        "partition_hash": "0",
+                        "turn_count": 0,
+                        "span_count": 0,
+                    }
+                    lineage_rows.append(
+                        (run_id, snapshot, b, "0", 0, 0, STATUS_COMPLETED, None)
+                    )
+                else:
+                    updates[str(b)] = {
+                        "run_id": run_id,
+                        "snapshot": snapshot,
+                        "partition_hash": r["partition_hash"],
+                        "turn_count": int(r["turn_count"]),
+                        "span_count": int(r["span_count"] or 0),
+                    }
+                    lineage_rows.append(
+                        (
+                            run_id,
+                            snapshot,
+                            b,
+                            r["partition_hash"],
+                            int(r["turn_count"]),
+                            int(r["span_count"] or 0),
+                            STATUS_COMPLETED,
+                            None,
+                        )
+                    )
+            (
+                spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
+                .withColumn("committed_at", F.current_timestamp())
+                .write.mode("append")
+                .parquet(_lineage_dir(output_dir))
+            )
+            manifest = _commit_manifest(output_dir, manifest, updates)
+            processed.extend(batch)
+            commits += 1
+            if fail_after_commits is not None and commits >= fail_after_commits:
+                raise SimulatedFailure(
+                    f"injected failure after {commits} commits (run {run_id})"
+                )
+
+    return {
+        "run_id": run_id,
+        "source_snapshot_id": snapshot,
+        "buckets_processed": processed,
+        "buckets_skipped": sorted(done),
+        "commits": commits,
+        "manifest_version": manifest["version"],
+    }

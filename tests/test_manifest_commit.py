@@ -1,0 +1,225 @@
+"""Atomic manifest-swap commit: kill at ANY point → readers never see a
+partial commit (SURVEY §4 Iceberg-snapshot contract; VERDICT r2 Missing #2).
+
+Reference parity target: the transactional complete/fail of the scheduler
+(``/root/reference/marie/scheduler/psql.py:811-868``) — work becomes visible
+all-or-nothing per commit unit.
+"""
+
+import json
+import os
+
+import pytest
+
+from marie_icr_spark.plans import manifest as M
+from marie_icr_spark.plans.lineage import SimulatedFailure
+from marie_icr_spark.sources.transcripts import TRANSCRIPT_SCHEMA, synth_transcripts
+
+N_BUCKETS = 8
+PER_COMMIT = 2  # → 4 commit units on a full run
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    tdf, _ = synth_transcripts(n_convs=30, seed=7, hot_factor=10)
+    return spark.createDataFrame(tdf, schema=TRANSCRIPT_SCHEMA)
+
+
+def _collect_sorted(spark, path, version=None):
+    df = M.read_results(spark, path, version=version).toPandas()
+    return (
+        df.sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+        .reindex(sorted(df.columns), axis=1)
+    )
+
+
+def _verify_manifest_vs_data(spark, out):
+    """Every committed bucket's on-disk hash/counts equal its manifest entry
+    — i.e. the manifest never points at data that isn't fully there."""
+    from pyspark.sql import functions as F
+
+    m = M.load_manifest(out)
+    if not m["buckets"]:
+        return
+    rec = {
+        int(r["bucket"]): r
+        for r in M.read_results(spark, out)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("span_count").alias("s"),
+            F.format_string(
+                "%x",
+                F.bit_xor(
+                    F.xxhash64(
+                        F.col("conv_id"), F.col("turn_idx"), F.col("extracted_text")
+                    )
+                ),
+            ).alias("h"),
+        )
+        .collect()
+    }
+    for b, ent in m["buckets"].items():
+        b = int(b)
+        if ent["turn_count"] == 0:
+            assert b not in rec
+            continue
+        assert rec[b]["n"] == ent["turn_count"]
+        assert int(rec[b]["s"]) == ent["span_count"]
+        assert rec[b]["h"] == ent["partition_hash"]
+
+
+def test_full_run_then_reader_sees_everything(spark, sdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("atomic_full"))
+    summary = M.run_extraction_job_atomic(
+        spark, sdf, out, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    assert sorted(summary["buckets_processed"]) == list(range(N_BUCKETS))
+    assert summary["manifest_version"] == N_BUCKETS // PER_COMMIT
+    assert len(_collect_sorted(spark, out)) == sdf.count()
+    _verify_manifest_vs_data(spark, out)
+
+
+@pytest.mark.parametrize("kill_after", [1, 2, 3])
+def test_kill_at_every_commit_boundary(spark, sdf, tmp_path_factory, kill_after):
+    """Kill after k commit units: readers see EXACTLY the first k units'
+    buckets (old-version consistency), never a partial unit; resume converges
+    to the uninterrupted result byte-for-byte."""
+    ref_dir = str(tmp_path_factory.mktemp("atomic_ref"))
+    M.run_extraction_job_atomic(
+        spark, sdf, ref_dir, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    reference = _collect_sorted(spark, ref_dir)
+
+    out = str(tmp_path_factory.mktemp(f"atomic_kill{kill_after}"))
+    with pytest.raises(SimulatedFailure):
+        M.run_extraction_job_atomic(
+            spark, sdf, out, n_buckets=N_BUCKETS,
+            buckets_per_commit=PER_COMMIT, fail_after_commits=kill_after,
+        )
+    # visibility is exactly the killed run's committed units
+    m = M.load_manifest(out)
+    assert m["version"] == kill_after
+    assert len(m["buckets"]) == kill_after * PER_COMMIT
+    _verify_manifest_vs_data(spark, out)
+    visible = _collect_sorted(spark, out)
+
+    summary = M.run_extraction_job_atomic(
+        spark, sdf, out, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    assert sorted(summary["buckets_skipped"]) == sorted(
+        int(b) for b in m["buckets"]
+    )
+    final = _collect_sorted(spark, out)
+    assert final.equals(reference)
+    # the killed-run snapshot is still readable (time travel to old version)
+    assert _collect_sorted(spark, out, version=kill_after).equals(visible)
+    _verify_manifest_vs_data(spark, out)
+
+
+def test_crash_before_first_commit_is_invisible(spark, sdf, tmp_path_factory):
+    """A run that dies after WRITING data but before any manifest swap leaves
+    version 0: readers see an empty table, the orphan dir is vacuumable."""
+    out = str(tmp_path_factory.mktemp("atomic_orphan"))
+    with pytest.raises(SimulatedFailure):
+        M.run_extraction_job_atomic(
+            spark, sdf, out, n_buckets=N_BUCKETS,
+            buckets_per_commit=N_BUCKETS, fail_after_commits=0,
+        )
+    assert M.current_version(out) == 0
+    assert M.read_results(spark, out).count() == 0
+    orphans = os.listdir(os.path.join(out, "data"))
+    assert len(orphans) == 1  # the dead run's dir, never referenced
+    removed = M.vacuum(out)
+    assert len(removed) == 1
+    # resume from nothing converges to the full result
+    M.run_extraction_job_atomic(
+        spark, sdf, out, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    assert len(_collect_sorted(spark, out)) == sdf.count()
+    _verify_manifest_vs_data(spark, out)
+
+
+def test_snapshot_upgrade_crash_keeps_old_version_consistent(
+    spark, sdf, tmp_path_factory
+):
+    """The exact window the parquet emulation documented: input changes
+    (new snapshot), the upgrading run crashes mid-way — readers on CURRENT
+    still see the OLD snapshot's complete state; nothing is purged."""
+    out = str(tmp_path_factory.mktemp("atomic_upgrade"))
+    M.run_extraction_job_atomic(
+        spark, sdf, out, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    old_state = _collect_sorted(spark, out)
+    old_version = M.current_version(out)
+
+    sdf2 = sdf.filter("turn_idx % 3 != 0")  # the source changed
+    with pytest.raises(SimulatedFailure):
+        M.run_extraction_job_atomic(
+            spark, sdf2, out, n_buckets=N_BUCKETS,
+            buckets_per_commit=PER_COMMIT, fail_after_commits=1,
+        )
+    # mixed manifest: 1 unit on the new snapshot, rest still old — but every
+    # entry is internally consistent and fully on disk
+    _verify_manifest_vs_data(spark, out)
+    # the pre-upgrade version is still fully readable
+    assert _collect_sorted(spark, out, version=old_version).equals(old_state)
+
+    M.run_extraction_job_atomic(
+        spark, sdf2, out, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    ref_dir = str(tmp_path_factory.mktemp("atomic_upgrade_ref"))
+    M.run_extraction_job_atomic(
+        spark, sdf2, ref_dir, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    assert _collect_sorted(spark, out).equals(_collect_sorted(spark, ref_dir))
+
+
+def test_commit_conflict_detected(tmp_path):
+    out = str(tmp_path)
+    base = {"version": 0, "buckets": {}}
+    M._commit_manifest(out, base, {"0": {
+        "run_id": "a", "snapshot": "s", "partition_hash": "0",
+        "turn_count": 0, "span_count": 0}})
+    with pytest.raises(M.CommitConflict):
+        M._commit_manifest(out, base, {"1": {
+            "run_id": "b", "snapshot": "s", "partition_hash": "0",
+            "turn_count": 0, "span_count": 0}})
+
+
+def test_vacuum_reclaims_only_orphans(spark, sdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("atomic_vacuum"))
+    M.run_extraction_job_atomic(
+        spark, sdf, out, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    before = _collect_sorted(spark, out)
+    # plant an orphan run dir (a crashed run that never committed)
+    orphan = os.path.join(out, "data", "deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("x")
+    removed = M.vacuum(out)
+    assert orphan in removed
+    assert _collect_sorted(spark, out).equals(before)
+    # manifest still loads and CURRENT untouched
+    assert M.load_manifest(out)["version"] == M.current_version(out)
+
+
+def test_manifest_file_is_complete_json(spark, sdf, tmp_path_factory):
+    """No partially-written manifest is ever referenced: the CURRENT version
+    always parses and carries every field."""
+    out = str(tmp_path_factory.mktemp("atomic_json"))
+    M.run_extraction_job_atomic(
+        spark, sdf, out, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    v = M.current_version(out)
+    for ver in range(1, v + 1):
+        with open(M._manifest_path(out, ver)) as f:
+            m = json.load(f)
+        assert m["version"] == ver
+        for ent in m["buckets"].values():
+            assert set(ent) == {
+                "run_id", "snapshot", "partition_hash", "turn_count",
+                "span_count",
+            }
