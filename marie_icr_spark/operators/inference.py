@@ -97,6 +97,89 @@ class StubLinearClassifier:
         return out
 
 
+class NumpyLinearClassifier:
+    """Real-weights inference path (N3): loads a weight file and predicts
+    with one vectorized NumPy matmul per Arrow batch — the same
+    load-weights → batch-iterate → pipeline-call shape as the reference's
+    transformer classifier (``marie/components/document_classifier/
+    transformers.py:33-360``, batch loop :200-283), with the torch model
+    replaced by an integer linear head (no torch in this container).
+
+    Weight file format ``linear-v1`` (JSON): ``labels``, ``vocab_buckets``,
+    per-label integer ``weights`` (len = vocab_buckets) and ``bias``.
+    Features are hashed bag-of-tokens counts (same ``portable_hash31``
+    bucketing as the stub), so ``raw = X @ W.T + bias`` is exact int64
+    arithmetic and replays verbatim in SQL. Labels are sorted at load so
+    argmax-first-index == the argmax-ties-to-label-asc contract.
+    """
+
+    def __init__(self, weights_path: str):
+        import json
+
+        import numpy as np
+
+        with open(weights_path) as f:
+            spec = json.load(f)
+        if spec.get("format") != "linear-v1":
+            raise ValueError(f"unsupported weight format {spec.get('format')!r}")
+        self.labels = sorted(spec["labels"])
+        self.vocab_buckets = int(spec["vocab_buckets"])
+        self._W = np.array(
+            [spec["weights"][lab] for lab in self.labels], dtype=np.int64
+        )  # [L, B]
+        self._bias = np.array(
+            [spec["bias"][lab] for lab in self.labels], dtype=np.int64
+        )  # [L]
+        if self._W.shape != (len(self.labels), self.vocab_buckets):
+            raise ValueError("weight matrix shape mismatch")
+        if self.vocab_buckets != VOCAB_BUCKETS:
+            # the cached _token_bucket is pinned to the module constant
+            raise ValueError(
+                f"vocab_buckets {self.vocab_buckets} != engine {VOCAB_BUCKETS}"
+            )
+
+    def __call__(self, texts: list[str]) -> list[dict[str, Any]]:
+        import numpy as np
+
+        B = self.vocab_buckets
+        X = np.zeros((len(texts), B), dtype=np.int64)
+        for i, t in enumerate(texts):
+            for tok in _ws_tokens_py(t or ""):
+                X[i, _token_bucket(tok)] += 1
+        raws = X @ self._W.T + self._bias  # [n, L] int64
+        totals = raws.sum(axis=1)
+        best_idx = raws.argmax(axis=1)  # first max = label asc on ties
+        out = []
+        for i in range(len(texts)):
+            raw = int(raws[i, best_idx[i]])
+            total = int(totals[i])
+            score = (
+                math.floor(raw / total * 1_000_000 + 0.5) / 1_000_000
+                if total
+                else 0.0
+            )
+            out.append(
+                {
+                    "label": self.labels[best_idx[i]],
+                    "score": score,
+                    "raw": raw,
+                    "total": total,
+                }
+            )
+        return out
+
+
+def default_weights_path() -> str:
+    """The checked-in tiny fixture (fixtures/tiny_text_classifier.json)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "tiny_text_classifier.json",
+    )
+
+
 class TextClassifierStage:
     """The pluggable inference stage. ``transform`` appends
     (label, score, raw_best, raw_total) to the passthrough columns via one

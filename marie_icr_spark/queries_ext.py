@@ -1843,6 +1843,72 @@ EXT_ORACLES["classify_routed"] = ORACLE_CLASSIFY_ROUTED
 
 
 # ---------------------------------------------------------------------------
+# Real-weights inference path (N3): the SAME TextClassifierStage, but
+# predict_fn is NumpyLinearClassifier loading the checked-in weight file and
+# scoring with a vectorized int64 matmul. The oracle inlines the fixture's
+# weights/bias as VALUES rows, so a hash match certifies that the file's
+# numbers — not any pinned formula — drove every score.
+# ---------------------------------------------------------------------------
+
+def q_classify_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.inference import (
+        NumpyLinearClassifier,
+        TextClassifierStage,
+        default_weights_path,
+    )
+
+    clf = NumpyLinearClassifier(default_weights_path())
+    stage = TextClassifierStage(clf.labels, predict_fn=clf)
+    return stage.transform(_docs(spark, sf_dir))
+
+
+def _numpy_classifier_oracle_sql() -> str:
+    import json
+
+    from .operators.inference import VOCAB_BUCKETS, default_weights_path
+
+    with open(default_weights_path()) as f:
+        spec = json.load(f)
+    labels = sorted(spec["labels"])
+    wvals = ", ".join(
+        f"('{lab}', {b}, {w})"
+        for lab in labels
+        for b, w in enumerate(spec["weights"][lab])
+    )
+    bvals = ", ".join(f"('{lab}', {spec['bias'][lab]})" for lab in labels)
+    h31tk = portable_hash31_sql("tk")
+    toks = _TOKENS_SQL.format(e="text")
+    return f"""
+WITH wt AS (SELECT * FROM (VALUES {wvals}) AS t(l, b, w)),
+bs AS (SELECT * FROM (VALUES {bvals}) AS t(l, bv)),
+tb AS (SELECT t.doc_id, db.b
+       FROM (SELECT doc_id, unnest({toks}) tk FROM documents) t
+       JOIN (SELECT tk, ({h31tk}) % {VOCAB_BUCKETS} b
+             FROM (SELECT DISTINCT tk FROM
+                   (SELECT doc_id, unnest({toks}) tk FROM documents))) db
+         USING (tk)),
+raws AS (SELECT s.doc_id, s.l, s.sw + bs.bv AS raw
+         FROM (SELECT tb.doc_id, wt.l, SUM(wt.w) sw
+               FROM tb JOIN wt USING (b) GROUP BY 1, 2) s
+         JOIN bs ON s.l = bs.l),
+rk AS (SELECT doc_id, l, raw, SUM(raw) OVER (PARTITION BY doc_id) tot,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY raw DESC, l ASC) rn
+       FROM raws)
+SELECT doc_id, l AS "label",
+       (floor(raw / tot * 1000000.0 + 0.5) / 1000000.0) AS score,
+       CAST(raw AS BIGINT) AS raw_best, CAST(tot AS BIGINT) AS raw_total
+FROM rk WHERE rn = 1
+"""
+
+
+ORACLE_CLASSIFY_NUMPY = _numpy_classifier_oracle_sql()
+
+EXT_QUERIES["classify_numpy"] = q_classify_numpy
+EXT_ORACLES["classify_numpy"] = ORACLE_CLASSIFY_NUMPY
+
+
+# ---------------------------------------------------------------------------
 # Composite entities (N8): multi-line labeled tokens → entity spans →
 # line-gap grouping, fully replayed in SQL.
 # ---------------------------------------------------------------------------

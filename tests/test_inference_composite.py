@@ -80,3 +80,89 @@ def test_composite_line_gap_split(spark):
     assert by_gid[2]["text"] == "main st"
     # envelope bbox of group 1 spans x 0..77
     assert (by_gid[1]["x"], by_gid[1]["w"]) == (0, 77)
+
+
+# -- NumpyLinearClassifier: real-weights load + vectorized predict ----------
+
+def test_numpy_classifier_matches_manual_math():
+    import json
+    import math
+
+    from marie_icr_spark.operators.inference import (
+        NumpyLinearClassifier,
+        _token_bucket,
+        _ws_tokens_py,
+        default_weights_path,
+    )
+
+    clf = NumpyLinearClassifier(default_weights_path())
+    with open(default_weights_path()) as f:
+        spec = json.load(f)
+    texts = ["total amount due now", "", "the the the", "report report annual"]
+    preds = clf(texts)
+    assert len(preds) == len(texts)
+    for t, p in zip(texts, preds):
+        raws = {}
+        for lab in clf.labels:
+            w = spec["weights"][lab]
+            raws[lab] = spec["bias"][lab] + sum(
+                w[_token_bucket(tok)] for tok in _ws_tokens_py(t)
+            )
+        best = max(raws.values())
+        lab = min(k for k, v in raws.items() if v == best)
+        total = sum(raws.values())
+        assert p["label"] == lab
+        assert p["raw"] == raws[lab]
+        assert p["total"] == total
+        assert p["score"] == math.floor(raws[lab] / total * 1e6 + 0.5) / 1e6
+
+
+def test_numpy_classifier_rejects_bad_fixture(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from marie_icr_spark.operators.inference import NumpyLinearClassifier
+
+    bad = tmp_path / "w.json"
+    bad.write_text(json.dumps({"format": "linear-v2"}))
+    with _pytest.raises(ValueError, match="unsupported weight format"):
+        NumpyLinearClassifier(str(bad))
+    bad.write_text(
+        json.dumps(
+            {
+                "format": "linear-v1",
+                "labels": ["a"],
+                "vocab_buckets": 8,
+                "weights": {"a": [1] * 8},
+                "bias": {"a": 0},
+            }
+        )
+    )
+    with _pytest.raises(ValueError, match="vocab_buckets"):
+        NumpyLinearClassifier(str(bad))
+
+
+def test_numpy_classifier_through_stage(spark):
+    from marie_icr_spark.operators.inference import (
+        NumpyLinearClassifier,
+        TextClassifierStage,
+        default_weights_path,
+    )
+
+    clf = NumpyLinearClassifier(default_weights_path())
+    df = spark.createDataFrame(
+        [(1, "invoice total due"), (2, "dear sir"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            TextClassifierStage(clf.labels, predict_fn=clf)
+            .transform(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    local = {1: clf(["invoice total due"])[0], 2: clf(["dear sir"])[0],
+             3: clf([""])[0]}
+    for d, p in local.items():
+        assert rows[d]["label"] == p["label"]
+        assert rows[d]["score"] == p["score"]
+        assert rows[d]["raw_best"] == p["raw"]
+        assert rows[d]["raw_total"] == p["total"]
