@@ -9,15 +9,20 @@ Arrow-batched ``mapInPandas`` stages.
 Decode dispatches on container magic. REAL pure-stdlib decoders cover:
 
 * PPM (P6)  — full header + raw pixel access (``media_pixel_stats``)
+* PNG       — IHDR dimensions; PLUS full pixel decode for 8-bit
+              non-interlaced gray/RGB/RGBA (stdlib zlib inflate + spec
+              unfiltering, ``decode_png_pixels``) feeding the same
+              ``media_pixel_stats``
 * BMP       — BITMAPINFOHEADER dimensions
-* PNG       — IHDR dimensions (no IDAT decompression needed for metadata)
 * JPEG      — SOF0/1/2 frame dimensions (marker scan)
 * WAV       — channels / sample rate / frame count via stdlib ``wave``
               (mapped as width=n_channels, height=sample_rate)
 
-Compressed-codec *pixel* decode (JPEG/PNG bitmaps, video) would need
-PIL/ffmpeg, which are not in this container — those, and unknown magics,
-raise ``NotImplementedError`` and fail open as (ok=False, error) rows.
+JPEG *pixel* decode (DCT) and video codecs would need PIL/ffmpeg, which are
+not in this container — those, and unknown magics, raise
+``NotImplementedError`` and fail open as (ok=False, error) rows; PNG
+variants outside the supported set (16-bit, palette, Adam7) fail open the
+same way in the pixel path while still decoding dimensions.
 
 Fake header format (tests): b"FAKE" + kind(1B: I/A/V) + width(4B LE) +
 height(4B LE) + nframes(4B LE) + payload.
@@ -310,27 +315,22 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def media_pixel_stats(df: DataFrame) -> DataFrame:
-    """REAL pixel-level feature extraction for raw-bitmap assets (PPM P6):
-    per-channel means and integer luminance range, numpy over the raw
-    buffer inside Arrow-batched mapInPandas. Non-PPM rows emit ok=False
-    (compressed bitmaps need codec libs)."""
+    """REAL pixel-level feature extraction for decodable bitmap assets —
+    raw PPM (P6) and 8-bit non-interlaced PNG (full stdlib-zlib inflate +
+    spec unfiltering, :func:`decode_png_pixels`): per-channel means and
+    integer luminance range, numpy over the decoded buffer inside
+    Arrow-batched mapInPandas. Other containers emit ok=False."""
+
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                hdr = parse_ppm_header(bytes(content)) if content is not None else None
-                if hdr is None:
+                px = _rgb_pixels(bytes(content)) if content is not None else None
+                if px is None:
                     rows.append((aid, False, 0.0, 0.0, 0.0, 0, 0))
                     continue
-                w, h, _mx, off = hdr
-                need = w * h * 3
-                buf = bytes(content)[off : off + need]
-                if len(buf) < need or need == 0:
-                    rows.append((aid, False, 0.0, 0.0, 0.0, 0, 0))
-                    continue
-                px = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3)
                 # integer luminance (ITU-R 601 in fixed point, exact)
                 lum = (
                     299 * px[:, 0].astype(np.int64)
@@ -361,6 +361,201 @@ def media_pixel_stats(df: DataFrame) -> DataFrame:
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     """Test-fixture encoder: binary PPM (P6, maxval 255)."""
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+# -- PNG pixel decode (pure stdlib: zlib inflate + spec unfiltering) --------
+#
+# Covers the most common container for real (reference loader parity:
+# marie/utils/docs.py:372-380): 8-bit depth, color types 0 (gray),
+# 2 (RGB), 4 (gray+alpha), 6 (RGBA), interlace 0. Everything else
+# (16-bit, palette, Adam7) stays fail-open — decode_png_pixels returns
+# None and the caller emits ok=False.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int) -> bytearray | None:
+    """Reverse the per-scanline filters of the PNG spec (types 0-4).
+
+    Sub/Average/Paeth are inherently sequential per byte — a plain loop over
+    the (small) scanline; Up/None stay whole-row ops. Returns the
+    concatenated unfiltered rows, or None on a malformed stream.
+    """
+    if len(raw) < h * (1 + stride):
+        return None
+    out = bytearray(h * stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = raw[pos : pos + stride]
+        pos += stride
+        obase = y * stride
+        pbase = obase - stride
+        if ft == 0:  # None
+            out[obase : obase + stride] = row
+        elif ft == 1:  # Sub
+            for i in range(stride):
+                left = out[obase + i - bpp] if i >= bpp else 0
+                out[obase + i] = (row[i] + left) & 0xFF
+        elif ft == 2:  # Up
+            if y == 0:
+                out[obase : obase + stride] = row
+            else:
+                for i in range(stride):
+                    out[obase + i] = (row[i] + out[pbase + i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = out[obase + i - bpp] if i >= bpp else 0
+                up = out[pbase + i] if y > 0 else 0
+                out[obase + i] = (row[i] + ((left + up) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = out[obase + i - bpp] if i >= bpp else 0
+                up = out[pbase + i] if y > 0 else 0
+                ul = out[pbase + i - bpp] if (y > 0 and i >= bpp) else 0
+                out[obase + i] = (row[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            return None
+    return out
+
+
+def decode_png_pixels(content: bytes):
+    """PNG → (height, width, channels) uint8 ndarray, or None if the stream
+    is malformed or uses an unsupported variant (16-bit, palette, Adam7)."""
+    import zlib
+
+    import numpy as np
+
+    if content[: len(_PNG_SIG)] != _PNG_SIG or len(content) < 33:
+        return None
+    pos = len(_PNG_SIG)
+    w = h = None
+    channels = 0
+    idat = bytearray()
+    n = len(content)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data_at = pos + 8
+        if data_at + length + 4 > n:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            if length < 13:
+                return None
+            w, h = struct.unpack_from(">II", content, data_at)
+            depth = content[data_at + 8]
+            color = content[data_at + 9]
+            interlace = content[data_at + 12]
+            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+                return None
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += content[data_at : data_at + length]
+        elif ctype == b"IEND":
+            break
+        pos = data_at + length + 4  # skip data + CRC
+    if not idat or not w or not h or w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    flat = _unfilter_scanlines(raw, h, stride, channels)
+    if flat is None:
+        return None
+    return np.frombuffer(bytes(flat), dtype=np.uint8).reshape(h, w, channels)
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               filter_type: int = 0, color_type: int = 2) -> bytes:
+    """Test-fixture encoder: 8-bit non-interlaced PNG with every scanline
+    filtered as ``filter_type`` (0-4) — lets tests exercise each unfilter
+    branch against known pixels."""
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    assert len(pixels) == height * stride
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    prev = bytes(stride)
+    scan = bytearray()
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        scan.append(filter_type)
+        if filter_type == 0:
+            scan += row
+        elif filter_type == 1:  # Sub
+            cur = bytearray()
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                cur.append((row[i] - left) & 0xFF)
+            scan += cur
+        elif filter_type == 2:  # Up
+            scan += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif filter_type == 3:  # Average
+            cur = bytearray()
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                cur.append((row[i] - ((left + prev[i]) >> 1)) & 0xFF)
+            scan += cur
+        elif filter_type == 4:  # Paeth
+            cur = bytearray()
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                cur.append((row[i] - _paeth(left, prev[i], ul)) & 0xFF)
+            scan += cur
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _rgb_pixels(content: bytes):
+    """(n, 3) uint8 RGB matrix from a PPM or decodable PNG; None otherwise."""
+    import numpy as np
+
+    hdr = parse_ppm_header(content)
+    if hdr is not None:
+        w, h, _mx, off = hdr
+        need = w * h * 3
+        buf = content[off : off + need]
+        if len(buf) < need or need == 0:
+            return None
+        return np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3)
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        px = decode_png_pixels(content)
+        if px is None or px.size == 0:
+            return None
+        c = px.shape[2]
+        flat = px.reshape(-1, c)
+        if c >= 3:
+            return flat[:, :3]  # drop alpha
+        return np.repeat(flat[:, :1], 3, axis=1)  # gray → replicated RGB
+    return None
 
 
 def encode_wav(n_channels: int, framerate: int, frames: bytes,

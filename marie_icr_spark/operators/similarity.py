@@ -209,45 +209,59 @@ def lsh_topk(emb: DataFrame, query: DataFrame, k: int = 10) -> DataFrame:
 # IVF (inverted-file) ANN — the coarse-quantizer alternative to the LSH
 # tables. Deterministic integer arithmetic end-to-end so the whole fit /
 # assign / probe path replays in SQL: centroids seed from the K lowest
-# vec_ids, one Lloyd step with floor-mean updates (|sums| < 2^53 → the
-# double division is exact), assignment = argmin integer squared-L2 with
-# ties to the lowest centroid id. Centroids are driver-side metadata
-# (K×dim ints, the k-means broadcast pattern — bookkeeping, not data), so
-# ASSIGNMENT IS A ZERO-SHUFFLE SCAN over literal centroid expressions; only
-# the centroid update shuffles (K·dim keys).
+# vec_ids, Lloyd steps with floor-mean updates (|sums| < 2^53 → the double
+# division is exact — the exactness argument holds for ANY number of
+# iterations), assignment = argmin integer squared-L2 with ties to the
+# lowest centroid id. Centroids are driver-side metadata (K×dim ints, the
+# k-means broadcast pattern) shipped as ONE broadcast row holding an
+# array<struct<cid,cq>> column: assignment is a zero-shuffle scan whose
+# per-row cost is the inherent K·dim distance work, and the PLAN stays O(1)
+# regardless of K (the round-2 literal-expression form capped K at ~64 —
+# plan size grew K·dim nodes); only the centroid update shuffles (K·dim
+# keys).
 # ---------------------------------------------------------------------------
 
-IVF_K = 16
-IVF_ITERS = 1
+IVF_K = 64
+IVF_ITERS = 2
 IVF_NPROBE = 2
 
 
-def _sqdist_lit(qcol, cent: list[int]):
-    return F.aggregate(
-        F.zip_with(
-            qcol,
-            F.array(*[F.lit(int(c)) for c in cent]),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+def _with_nearest_cids(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    nprobe: int,
+    out_col: str,
+    qcol: str = "q",
+) -> DataFrame:
+    """Append ``out_col`` = array of the nprobe nearest centroid ids
+    (d2 asc, cid asc). Centroids travel as a single broadcast row — one
+    array column evaluated JVM-side per input row — so K scales to
+    thousands without growing the plan."""
+    spark = df.sparkSession
+    one = spark.createDataFrame(
+        [([(int(cid), [int(v) for v in cq]) for cid, cq in centroids],)],
+        "cents array<struct<cid:int,cq:array<bigint>>>",
     )
 
+    def d2(cq):
+        return F.aggregate(
+            F.zip_with(F.col(qcol), cq, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
 
-def _nearest_cids(qcol, centroids: list[tuple[int, list[int]]], nprobe: int):
-    """Array of the nprobe nearest centroid ids (d2 asc, cid asc) as a pure
-    Column expression over centroid literals."""
-    pairs = F.array(
-        *[
-            F.struct(
-                _sqdist_lit(qcol, cq).alias("d2"),
-                F.lit(int(cid)).cast("int").alias("cid"),
-            )
-            for cid, cq in centroids
-        ]
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(d2(c["cq"]).alias("d2"), c["cid"].alias("cid")),
+        )
     )
-    return F.transform(
-        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["cid"]
+    return (
+        df.crossJoin(F.broadcast(one))
+        .withColumn(
+            out_col, F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+        )
+        .drop("cents")
     )
 
 
@@ -258,8 +272,8 @@ def ivf_fit(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS) -> list:
     seeds = qn.orderBy("vec_id").limit(k).collect()
     centroids = [(i, list(r["q"])) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        assigned = qn.withColumn(
-            "cid", _nearest_cids(F.col("q"), centroids, 1)[0]
+        assigned = _with_nearest_cids(qn, centroids, 1, "cids").withColumn(
+            "cid", F.col("cids")[0]
         )
         sums = (
             assigned.select("cid", F.posexplode("q").alias("pos", "v"))
@@ -285,23 +299,28 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     nprobe: int = IVF_NPROBE,
+    n_centroids: int = IVF_K,
+    iters: int = IVF_ITERS,
 ) -> DataFrame:
     """Batch ANN top-k via the IVF index: per query probe the nprobe nearest
     centroids' inverted lists (equi-join on cid), exact cosine re-rank.
+    ``n_centroids``/``iters`` size the coarse quantizer — pick
+    n_centroids ≈ sqrt(n_vectors) (the default suits the testdata scale;
+    a tiny corpus wants a smaller K or clusters fragment and recall drops).
     Output: (query_id, vec_id, cosine, rank)."""
     from pyspark.sql.window import Window
 
-    centroids = ivf_fit(emb)
-    assigned = quantize(emb).withColumn(
-        "cid", _nearest_cids(F.col("q"), centroids, 1)[0]
-    )
+    centroids = ivf_fit(emb, k=n_centroids, iters=iters)
+    assigned = _with_nearest_cids(quantize(emb), centroids, 1, "cids").withColumn(
+        "cid", F.col("cids")[0]
+    ).drop("cids")
     probes = (
-        quantize(queries)
+        _with_nearest_cids(quantize(queries), centroids, nprobe, "cids")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
             F.col("nrm").alias("qnrm"),
-            F.explode(_nearest_cids(F.col("q"), centroids, nprobe)).alias("cid"),
+            F.explode("cids").alias("cid"),
         )
     )
     scored = (

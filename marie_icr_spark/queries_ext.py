@@ -2352,7 +2352,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle_sql() -> str:
-    from .operators.similarity import IVF_K, IVF_NPROBE
+    """The Lloyd chain is emitted programmatically for IVF_ITERS iterations
+    (c0 = seeds; a_i = assign against c_{i-1}; c_i = floor-mean of a_i) —
+    the floor-mean keeps every centroid integer, so exactness holds for any
+    iteration count, matching ivf_fit."""
+    from .operators.similarity import IVF_ITERS, IVF_K, IVF_NPROBE
 
     d2 = (
         "list_sum(list_transform(range(64), "
@@ -2362,50 +2366,78 @@ def _ivf_oracle_sql() -> str:
         "(floor((list_sum(list_transform(range(64), i -> na.q[i+1] * nb.q[i+1]))"
         " / (sqrt(na.nrm) * sqrt(nb.nrm))) * 1000000.0 + 0.5) / 1000000.0)"
     )
-    return f"""
-WITH q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings),
-n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm FROM q),
-seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) cid,
-                 q cq
-          FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {IVF_K})),
-a1 AS (SELECT vec_id, cid, q FROM (
+    ctes = [
+        f"q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings)",
+        "n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm"
+        " FROM q)",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)"
+        " cid, q cq"
+        f" FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {IVF_K}))",
+    ]
+    for it in range(1, IVF_ITERS + 1):
+        prev = f"c{it - 1}"
+        ctes.append(
+            f"""a{it} AS (SELECT vec_id, cid, q FROM (
          SELECT nq.vec_id, c.cid, nq.q,
                 row_number() OVER (PARTITION BY nq.vec_id
                   ORDER BY {d2}, c.cid) rn
-         FROM q nq CROSS JOIN seeds c)
-       WHERE rn = 1),
-upd AS (SELECT cid, p.i pos, CAST(floor(SUM(p.v) / COUNT(*)) AS BIGINT) cv
+         FROM q nq CROSS JOIN {prev} c)
+       WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""u{it} AS (SELECT cid, p.i pos,
+               CAST(floor(SUM(p.v) / COUNT(*)) AS BIGINT) cv
         FROM (SELECT cid,
                 unnest(list_transform(range(64),
                   i -> {{'i': i, 'v': q[i+1]}})) p
-              FROM a1)
-        GROUP BY cid, p.i),
-c1 AS (SELECT cid, list(cv ORDER BY pos) cq FROM upd GROUP BY cid),
-a2 AS (SELECT vec_id, cid FROM (
+              FROM a{it})
+        GROUP BY cid, p.i)"""
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cid, list(cv ORDER BY pos) cq FROM u{it}"
+            " GROUP BY cid)"
+        )
+    final = f"c{IVF_ITERS}"
+    ctes.append(
+        f"""af AS (SELECT vec_id, cid FROM (
          SELECT nq.vec_id, c.cid,
                 row_number() OVER (PARTITION BY nq.vec_id
                   ORDER BY {d2}, c.cid) rn
-         FROM q nq CROSS JOIN c1 c)
-       WHERE rn = 1),
-qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_ANN_BATCH_NQ}),
-probes AS (SELECT vec_id query_id, cid FROM (
+         FROM q nq CROSS JOIN {final} c)
+       WHERE rn = 1)"""
+    )
+    ctes.append(
+        f"qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id"
+        f" LIMIT {_ANN_BATCH_NQ})"
+    )
+    ctes.append(
+        f"""probes AS (SELECT vec_id query_id, cid FROM (
              SELECT nq.vec_id, c.cid,
                     row_number() OVER (PARTITION BY nq.vec_id
                       ORDER BY {d2}, c.cid) rn
              FROM (SELECT q.* FROM q JOIN qs USING (vec_id)) nq
-             CROSS JOIN c1 c)
-           WHERE rn <= {IVF_NPROBE}),
-scored AS (SELECT p.query_id, a2.vec_id, {cos} cosine
+             CROSS JOIN {final} c)
+           WHERE rn <= {IVF_NPROBE})"""
+    )
+    ctes.append(
+        f"""scored AS (SELECT p.query_id, af.vec_id, {cos} cosine
            FROM probes p
-           JOIN a2 USING (cid)
+           JOIN af USING (cid)
            JOIN n na ON p.query_id = na.vec_id
-           JOIN n nb ON a2.vec_id = nb.vec_id
-           WHERE a2.vec_id != p.query_id),
-r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        ORDER BY cosine DESC, vec_id ASC) rk FROM scored)
+           JOIN n nb ON af.vec_id = nb.vec_id
+           WHERE af.vec_id != p.query_id)"""
+    )
+    ctes.append(
+        """r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, vec_id ASC) rk FROM scored)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
 SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS "rank"
 FROM r WHERE rk <= {_ANN_BATCH_K}
 """
+    )
 
 
 ORACLE_IVF_TOPK = _ivf_oracle_sql()
@@ -2603,3 +2635,75 @@ FROM g
 
 EXT_QUERIES["atomic_commit_roundtrip"] = q_atomic_commit_roundtrip
 EXT_ORACLES["atomic_commit_roundtrip"] = ORACLE_ATOMIC_COMMIT_ROUNDTRIP
+
+
+# ---------------------------------------------------------------------------
+# PNG pixel decode (multimodal): per-doc PNGs are synthesized from a linear
+# pixel formula, every scanline filtered as doc_id % 5 (all five PNG filter
+# types exercised), then decoded back via the stdlib zlib-inflate +
+# unfilter path. DuckDB replays the channel means and luminance range
+# directly from the formula — a hash match certifies the decoder bit-exact.
+# ---------------------------------------------------------------------------
+
+_PNG_W, _PNG_H = 8, 4
+
+
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_png,
+        media_pixel_stats,
+    )
+
+    npix = _PNG_W * _PNG_H
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pix = bytearray()
+                for i in range(npix):
+                    pix.append((7 * did + 11 * i) % 256)
+                    pix.append((13 * did + 17 * i) % 256)
+                    pix.append((19 * did + 23 * i) % 256)
+                rows.append(
+                    (
+                        str(did),
+                        "image",
+                        encode_png(_PNG_W, _PNG_H, bytes(pix),
+                                   filter_type=did % 5),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "content", "meta"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = docs.mapInPandas(enc, ASSET_SCHEMA)
+    stats = media_pixel_stats(assets)
+    return stats.filter(F.col("ok")).select(
+        F.col("asset_id").cast("long").alias("doc_id"),
+        "mean_r", "mean_g", "mean_b", "min_lum", "max_lum",
+    )
+
+
+ORACLE_PNG_PIXEL_STATS = f"""
+WITH px AS (
+  SELECT d.doc_id, t.i,
+         (7 * d.doc_id + 11 * t.i) % 256 AS r,
+         (13 * d.doc_id + 17 * t.i) % 256 AS g,
+         (19 * d.doc_id + 23 * t.i) % 256 AS b
+  FROM documents d CROSS JOIN (SELECT unnest(range({_PNG_W * _PNG_H})) i) t)
+SELECT doc_id,
+       AVG(r) AS mean_r, AVG(g) AS mean_g, AVG(b) AS mean_b,
+       CAST(MIN((299 * r + 587 * g + 114 * b) // 1000) AS INTEGER) AS min_lum,
+       CAST(MAX((299 * r + 587 * g + 114 * b) // 1000) AS INTEGER) AS max_lum
+FROM px GROUP BY doc_id
+"""
+
+EXT_QUERIES["png_pixel_stats"] = q_png_pixel_stats
+EXT_ORACLES["png_pixel_stats"] = ORACLE_PNG_PIXEL_STATS

@@ -122,3 +122,81 @@ def test_media_features_jvm_side(spark, assets):
     assert rows["img-1"]["pixels"] == 640 * 480
     assert abs(rows["vid-1"]["aspect_ratio"] - 1920 / 1080) < 1e-9
     assert rows["aud-1"]["aspect_ratio"] == 0.0
+
+
+# -- PNG pixel decode: stdlib zlib inflate + spec unfiltering ----------------
+
+def _pattern_rgb(w, h, seed=3):
+    return bytes(((seed * 7 + i * 11) % 256) for i in range(w * h * 3))
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_every_filter_type_roundtrips(ft):
+    import numpy as np
+
+    from marie_icr_spark.operators.multimodal import decode_png_pixels, encode_png
+
+    w, h = 9, 5  # odd sizes exercise non-aligned strides
+    pix = _pattern_rgb(w, h)
+    png = encode_png(w, h, pix, filter_type=ft)
+    out = decode_png_pixels(png)
+    assert out is not None and out.shape == (h, w, 3)
+    assert out.tobytes() == pix
+    assert np.array_equal(
+        out.reshape(-1, 3), np.frombuffer(pix, dtype=np.uint8).reshape(-1, 3)
+    )
+
+
+@pytest.mark.parametrize("color_type,channels", [(0, 1), (4, 2), (6, 4)])
+def test_png_gray_and_alpha_variants(color_type, channels):
+    from marie_icr_spark.operators.multimodal import decode_png_pixels, encode_png
+
+    w, h = 4, 3
+    pix = bytes((i * 13) % 256 for i in range(w * h * channels))
+    png = encode_png(w, h, pix, filter_type=4, color_type=color_type)
+    out = decode_png_pixels(png)
+    assert out is not None and out.shape == (h, w, channels)
+    assert out.tobytes() == pix
+
+
+def test_png_fail_open_variants():
+    from marie_icr_spark.operators.multimodal import decode_png_pixels, encode_png
+
+    good = encode_png(4, 4, _pattern_rgb(4, 4))
+    assert decode_png_pixels(good) is not None
+    assert decode_png_pixels(good[:40]) is None          # truncated IDAT
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\n" + b"x" * 30) is None
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF                                  # break the deflate
+    assert decode_png_pixels(bytes(corrupt)) is None
+    # 16-bit depth is out of scope → None (fail open), not garbage
+    deep = bytearray(good)
+    deep[24] = 16  # IHDR bit depth byte
+    assert decode_png_pixels(bytes(deep)) is None
+
+
+def test_pixel_stats_png_equals_ppm(spark):
+    """Same pixels through PNG (Paeth-filtered) and PPM must give identical
+    stats — certifies the inflate+unfilter path against the raw path."""
+    from marie_icr_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_png,
+        encode_ppm,
+        media_pixel_stats,
+    )
+
+    w, h = 16, 8
+    pix = _pattern_rgb(w, h, seed=9)
+    df = spark.createDataFrame(
+        [
+            ("png-1", "image", bytearray(encode_png(w, h, pix, filter_type=4)), {}),
+            ("ppm-1", "image", bytearray(encode_ppm(w, h, pix)), {}),
+            ("jpg-x", "image", bytearray(b"\xff\xd8\xffjunk"), {}),
+        ],
+        ASSET_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in media_pixel_stats(df).collect()}
+    assert rows["png-1"]["ok"] and rows["ppm-1"]["ok"]
+    for k in ("mean_r", "mean_g", "mean_b", "min_lum", "max_lum"):
+        assert rows["png-1"][k] == rows["ppm-1"][k]
+    assert not rows["jpg-x"]["ok"]

@@ -83,7 +83,7 @@ def test_ivf_topk_recall_on_planted(spark):
     qids = [0, 4, 40]
     qdf = emb.filter(F.col("vec_id").isin(qids))
     by_q = {}
-    for r in ivf_topk(emb, qdf, k=3).collect():
+    for r in ivf_topk(emb, qdf, k=3, n_centroids=16).collect():
         by_q.setdefault(r["query_id"], {})[r["vec_id"]] = r["cosine"]
     recalls = []
     for qid in qids:
