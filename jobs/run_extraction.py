@@ -8,11 +8,14 @@ The production launch shape of the north rule:
         --input  <transcripts table/path> \\
         --output <results table/path> \\
         [--n-buckets 4096] [--buckets-per-commit 64] [--mode sparse] \\
-        [--salt-partitions 0] [--run-id <id>]
+        [--salt-partitions 0] [--run-id <id>] [--atomic]
 
 On a cluster the session comes from spark-submit's conf (executors, Iceberg
 catalog); locally it falls back to local[*]. Rerunning with the same
 --output resumes from the last committed bucket (plans/lineage.py).
+``--atomic`` commits through the manifest-swap catalog (plans/manifest.py):
+immutable per-run data dirs + an atomically-renamed version pointer, so a
+kill at any point leaves readers on the previous consistent snapshot.
 """
 
 from __future__ import annotations
@@ -35,12 +38,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "before extraction (hot-conversation file skew)",
     )
     ap.add_argument("--run-id", default=None)
+    ap.add_argument(
+        "--atomic", action="store_true",
+        help="commit via the manifest-swap catalog (all-or-nothing "
+             "visibility per commit unit; readers use plans.manifest."
+             "read_results)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     from marie_icr_spark.operators.extraction import salt_repartition
     from marie_icr_spark.plans.lineage import run_extraction_job
+    from marie_icr_spark.plans.manifest import run_extraction_job_atomic
 
     owns_session = spark is None
     if owns_session:
@@ -73,7 +83,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.salt_partitions > 0:
             transcripts = salt_repartition(transcripts, args.salt_partitions)
 
-        summary = run_extraction_job(
+        job = run_extraction_job_atomic if args.atomic else run_extraction_job
+        summary = job(
             spark,
             transcripts,
             args.output,

@@ -146,15 +146,17 @@ def read_results(
     """Rows of exactly the buckets the (CURRENT or pinned) manifest commits.
 
     One ``spark.read`` per referenced run dir (runs are few — one per
-    writer invocation), each with ``basePath`` so the ``bucket=`` partition
-    column survives and partition pruning applies; uncommitted/orphaned run
-    dirs are invisible by construction.
+    writer invocation or micro-batch), each with ``basePath`` so the
+    ``bucket=`` partition column survives and partition pruning applies;
+    uncommitted/orphaned run dirs are invisible by construction. Entry keys
+    are ``"<bucket>"`` for batch runs and ``"<epoch>/<bucket>"`` for
+    streaming commits (:func:`commit_stream_batch`).
     """
     m = load_manifest(output_dir, version)
     by_run: dict[str, list[int]] = {}
     for b, ent in m["buckets"].items():
         if ent["run_id"] is not None and ent["turn_count"] > 0:
-            by_run.setdefault(ent["run_id"], []).append(int(b))
+            by_run.setdefault(ent["run_id"], []).append(int(b.split("/")[-1]))
     frames = [
         spark.read.option("basePath", _run_dir(output_dir, rid)).parquet(
             *[os.path.join(_run_dir(output_dir, rid), f"bucket={b}") for b in bs]
@@ -340,3 +342,85 @@ def run_extraction_job_atomic(
         "commits": commits,
         "manifest_version": manifest["version"],
     }
+
+
+def commit_stream_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    output_dir: str,
+    n_buckets: int = 8,
+) -> dict | None:
+    """``foreachBatch`` sink body: commit one micro-batch atomically.
+
+    The batch's extracted rows land in a fresh immutable run dir and become
+    visible under epoch-scoped manifest keys ``"<epoch>/<bucket>"`` in one
+    CURRENT swap — a reader never sees a partially-written micro-batch
+    (unlike a plain parquet ``batch=<id>`` sink, whose files appear one by
+    one). A replayed epoch (restart between sink write and streaming-
+    checkpoint commit) deterministically re-commits the SAME keys pointing
+    at a fresh dir; the superseded dir is orphaned and reclaimed by
+    :func:`vacuum` — exactly-once *visible* state without any sink-side
+    dedup. Returns the new manifest (None for an empty batch).
+    """
+    spark = batch_df.sparkSession
+    if batch_df.isEmpty():
+        return None
+    run_id = f"epoch{epoch}-{uuid.uuid4().hex[:8]}"
+    bucketed = batch_df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    )
+    rdir = _run_dir(output_dir, run_id)
+    bucketed.write.mode("errorifexists").partitionBy("bucket").parquet(rdir)
+    written = spark.read.option("basePath", rdir).parquet(rdir)
+    stats = (
+        written.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum("span_count").alias("span_count"),
+            F.format_string(
+                "%x",
+                F.bit_xor(
+                    F.xxhash64(
+                        F.col("conv_id"), F.col("turn_idx"), F.col("extracted_text")
+                    )
+                ),
+            ).alias("partition_hash"),
+        )
+        .collect()
+    )
+    snapshot = f"epoch:{epoch}"
+    updates = {
+        f"{epoch}/{int(r['bucket'])}": {
+            "run_id": run_id,
+            "snapshot": snapshot,
+            "partition_hash": r["partition_hash"],
+            "turn_count": int(r["turn_count"]),
+            "span_count": int(r["span_count"] or 0),
+        }
+        for r in stats
+    }
+    lineage_rows = [
+        (
+            run_id,
+            snapshot,
+            int(r["bucket"]),
+            r["partition_hash"],
+            int(r["turn_count"]),
+            int(r["span_count"] or 0),
+            STATUS_COMPLETED,
+            None,
+        )
+        for r in stats
+    ]
+    (
+        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA)
+        .withColumn("committed_at", F.current_timestamp())
+        .write.mode("append")
+        .parquet(_lineage_dir(output_dir))
+    )
+    # single streaming writer per checkpoint → CAS conflicts only on a true
+    # concurrent-writer misconfiguration; reload once then surface it
+    try:
+        return _commit_manifest(output_dir, load_manifest(output_dir), updates)
+    except CommitConflict:
+        return _commit_manifest(output_dir, load_manifest(output_dir), updates)

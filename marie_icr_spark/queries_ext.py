@@ -2233,12 +2233,19 @@ EXT_ORACLES["dedup_survivors"] = ORACLE_DEDUP_SURVIVORS
 from .sources.transcripts import WORDS_PER_LINE  # noqa: E402
 
 
-def _stream_input(spark, sf_dir: str) -> tuple[str, str]:
+def _stream_input(spark, sf_dir: str, n_files: int = 8) -> tuple[str, str]:
     import tempfile
 
     base = tempfile.mkdtemp(prefix="stream_oracle_")
     inp = f"{base}/in"
-    transcripts_from_docs(spark, sf_dir).write.mode("overwrite").parquet(inp)
+    # several input files so maxFilesPerTrigger yields MULTIPLE micro-batches
+    # (the multi-epoch case is what the streaming oracles must certify)
+    (
+        transcripts_from_docs(spark, sf_dir)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(inp)
+    )
     return base, inp
 
 
@@ -2707,3 +2714,89 @@ FROM px GROUP BY doc_id
 
 EXT_QUERIES["png_pixel_stats"] = q_png_pixel_stats
 EXT_ORACLES["png_pixel_stats"] = ORACLE_PNG_PIXEL_STATS
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming sink through the manifest catalog: the stream runs
+# in multiple micro-batches (maxFilesPerTrigger), each committed atomically
+# via a CURRENT-pointer swap; the query verifies every epoch-scoped manifest
+# entry against hashes recomputed from the written partitions and that more
+# than one epoch actually committed. DuckDB replays the totals.
+# ---------------------------------------------------------------------------
+
+def q_stream_atomic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .plans import manifest as M
+    from .streaming.pipeline import stream_extract_atomic
+
+    base, inp = _stream_input(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="stream_atomic_")
+    try:
+        q = stream_extract_atomic(
+            spark, inp, out, f"{base}/ckpt", available_now=True,
+            n_buckets=8, max_files_per_trigger=4,
+        )
+        q.awaitTermination()
+
+        m = M.load_manifest(out)
+        epochs = {k.split("/")[0] for k in m["buckets"]}
+        recomputed = (
+            M.read_results(spark, out)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rc_turns"),
+                F.sum("span_count").alias("rc_spans"),
+            )
+        )
+        # per-bucket manifest sums (buckets repeat across epochs)
+        ment = spark.createDataFrame(
+            [
+                (int(k.split("/")[-1]), e["turn_count"], e["span_count"])
+                for k, e in m["buckets"].items()
+            ],
+            "bucket int, turn_count long, span_count long",
+        ).groupBy("bucket").agg(
+            F.sum("turn_count").alias("m_turns"),
+            F.sum("span_count").alias("m_spans"),
+        )
+        j = ment.join(recomputed, "bucket", "full_outer")
+        row = j.agg(
+            F.sum("rc_turns").alias("turns"),
+            F.sum("rc_spans").alias("spans"),
+            F.min(
+                F.coalesce(
+                    (F.col("m_turns") == F.col("rc_turns"))
+                    & (F.col("m_spans") == F.col("rc_spans")),
+                    F.lit(False),
+                )
+            ).alias("ok"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    int(row["turns"]),
+                    int(row["spans"]),
+                    bool(row["ok"]) and len(epochs) >= 2,
+                )
+            ],
+            "total_turns long, total_spans long, all_epochs_atomic boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLE_STREAM_ATOMIC_COMMIT = (
+    _ORACLE_DERIVE_REF
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_turns,
+       CAST(SUM(span_count) AS BIGINT) AS total_spans,
+       TRUE AS all_epochs_atomic
+FROM g
+"""
+)
+
+EXT_QUERIES["stream_atomic_commit"] = q_stream_atomic_commit
+EXT_ORACLES["stream_atomic_commit"] = ORACLE_STREAM_ATOMIC_COMMIT

@@ -117,6 +117,44 @@ def stream_extract(
     return writer.start()
 
 
+def stream_extract_atomic(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    n_buckets: int = 8,
+    max_files_per_trigger: int | None = None,
+    mode: str = "sparse",
+):
+    """readStream → extraction → ATOMIC manifest-swap sink.
+
+    Each micro-batch becomes visible in one CURRENT-pointer swap
+    (``plans.manifest.commit_stream_batch``): readers via
+    ``plans.manifest.read_results`` see whole batches or nothing — the
+    streaming twin of ``run_extraction_job_atomic``, upgrading
+    :func:`stream_extract`'s file-at-a-time visibility. Replayed epochs
+    re-commit idempotently (fresh run dir, same epoch keys; orphans go to
+    ``vacuum``).
+    """
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    extracted = extract_turns(stream, mode=mode)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans.manifest import commit_stream_batch
+
+        commit_stream_batch(batch_df, batch_id, output_dir, n_buckets=n_buckets)
+
+    writer = (
+        extracted.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_kind_counts(
     spark: SparkSession,
     input_dir: str,

@@ -76,3 +76,33 @@ def test_cli_psm_mode_flag_reaches_extraction(spark, input_dir, tmp_path_factory
         .filter("t_sparse != t_raw")
     )
     assert joined.count() > 0
+
+
+def test_cli_atomic_flag_commits_via_manifest(spark, input_dir, tmp_path_factory, capsys):
+    """--atomic routes the job through the manifest-swap catalog: CURRENT
+    advances, data lands in an immutable per-run dir, resume is a no-op,
+    and the manifest reader returns every row."""
+    from marie_icr_spark.plans import manifest as M
+
+    out = str(tmp_path_factory.mktemp("cli_atomic"))
+    rc = run_extraction.main(
+        ["--input", input_dir, "--output", out, "--n-buckets", "4",
+         "--buckets-per-commit", "2", "--atomic"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["manifest_version"] == 2
+    assert M.current_version(out) == 2
+    n_in = spark.read.parquet(input_dir).count()
+    assert M.read_results(spark, out).count() == n_in
+    # resume: nothing pending, no new manifest version
+    rc2 = run_extraction.main(
+        ["--input", input_dir, "--output", out, "--n-buckets", "4",
+         "--buckets-per-commit", "2", "--atomic"],
+        spark=spark,
+    )
+    assert rc2 == 0
+    summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary2["buckets_processed"] == []
+    assert M.current_version(out) == 2

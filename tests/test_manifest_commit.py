@@ -223,3 +223,64 @@ def test_manifest_file_is_complete_json(spark, sdf, tmp_path_factory):
                 "run_id", "snapshot", "partition_hash", "turn_count",
                 "span_count",
             }
+
+
+# -- exactly-once streaming sink through the manifest catalog ----------------
+
+def test_stream_extract_atomic_multi_epoch(spark, sdf, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.streaming.pipeline import stream_extract_atomic
+
+    base = str(tmp_path_factory.mktemp("stream_atomic"))
+    inp, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    sdf.repartition(6).write.parquet(inp)
+    q = stream_extract_atomic(
+        spark, inp, out, ckpt, available_now=True, n_buckets=4,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    m = M.load_manifest(out)
+    epochs = {k.split("/")[0] for k in m["buckets"]}
+    assert len(epochs) >= 2, "must exercise the multi-micro-batch path"
+    got = M.read_results(spark, out)
+    assert got.count() == sdf.count()
+    # manifest sums equal written data per (epoch-summed) bucket
+    by_bucket = {}
+    for k, e in m["buckets"].items():
+        b = int(k.split("/")[-1])
+        by_bucket[b] = by_bucket.get(b, 0) + e["turn_count"]
+    rec = {int(r["bucket"]): r["n"] for r in
+           got.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_bucket == rec
+
+
+def test_stream_replayed_epoch_is_idempotent(spark, sdf, tmp_path_factory):
+    """A replayed micro-batch (restart between sink write and streaming
+    checkpoint) re-commits the SAME epoch keys over a fresh run dir: visible
+    rows unchanged, superseded dir orphaned and vacuumable."""
+    import os as _os
+
+    from marie_icr_spark.operators.extraction import extract_turns
+    from marie_icr_spark.plans.manifest import commit_stream_batch
+
+    out = str(tmp_path_factory.mktemp("stream_replay"))
+    batch = extract_turns(sdf)
+    commit_stream_batch(batch, 7, out, n_buckets=4)
+    v1 = M.current_version(out)
+    before = M.read_results(spark, out).toPandas()
+    n_dirs_before = len(_os.listdir(_os.path.join(out, "data")))
+
+    commit_stream_batch(batch, 7, out, n_buckets=4)  # the replay
+    assert M.current_version(out) == v1 + 1
+    after = M.read_results(spark, out).toPandas()
+    cols = sorted(before.columns)
+    pd = __import__("pandas")
+    pd.testing.assert_frame_equal(
+        before.sort_values(cols).reset_index(drop=True).reindex(cols, axis=1),
+        after.sort_values(cols).reset_index(drop=True).reindex(cols, axis=1),
+    )
+    assert len(_os.listdir(_os.path.join(out, "data"))) == n_dirs_before + 1
+    removed = M.vacuum(out)
+    assert len([p for p in removed if "/data/" in p]) == 1  # the orphan
+    assert M.read_results(spark, out).count() == len(after)
