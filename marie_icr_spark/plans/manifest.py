@@ -56,6 +56,11 @@ class CommitConflict(RuntimeError):
     """Another writer committed the manifest version we raced for."""
 
 
+class CompactionIntegrityError(RuntimeError):
+    """Compacted data does not hash-match the manifest it merged — the
+    swap is aborted and CURRENT still points at the uncompacted version."""
+
+
 # -- manifest file plumbing (driver-side: one tiny JSON per commit) ---------
 
 
@@ -171,6 +176,132 @@ def read_results(
     return out
 
 
+def _bucket_stats(written: DataFrame) -> list:
+    """Per-bucket (turn_count, span_count, partition_hash) recomputed from
+    written partitions — the read-back certification every commit path uses.
+    ``bit_xor(xxhash64(...))`` is order-insensitive AND XOR-combinable:
+    the hash of a union of disjoint row sets is the XOR of their hashes,
+    which is what lets :func:`compact` verify a merged bucket against the
+    epoch-scoped entries it collapses without rereading the old dirs."""
+    return (
+        written.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.sum("span_count").alias("span_count"),
+            F.format_string(
+                "%x",
+                F.bit_xor(
+                    F.xxhash64(
+                        F.col("conv_id"), F.col("turn_idx"), F.col("extracted_text")
+                    )
+                ),
+            ).alias("partition_hash"),
+        )
+        .collect()
+    )
+
+
+def compact(
+    spark: SparkSession, output_dir: str, buckets: list[int] | None = None
+) -> dict:
+    """Rewrite the CURRENT snapshot's data into ONE fresh run dir and swap
+    in a manifest where every (selected) bucket points at it.
+
+    The streaming sink (:func:`commit_stream_batch`) deliberately trades
+    layout for latency: one immutable run dir per micro-batch, so a
+    long-running stream accretes the classic small-files problem (at 100 TB,
+    thousands of epoch dirs × buckets of small parquet files — metadata
+    pressure on every read). Compaction collapses them, Iceberg
+    ``rewrite_data_files``-style: readers see the uncompacted or compacted
+    version atomically, never a mix; the superseded run dirs become orphans
+    for :func:`vacuum`.
+
+    Scale shape: the rewrite is a scan→write with NO shuffle — every input
+    file already belongs to exactly one ``bucket=`` dir, so ``partitionBy``
+    re-bins rows without moving them across partitions. Pass ``buckets`` to
+    compact an ID range incrementally (epoch keys for other buckets are
+    left untouched), which is how a 100 TB table compacts in bounded units.
+
+    Integrity: the compacted per-bucket hash must equal the XOR of the
+    merged entries' hashes (see :func:`_bucket_stats`); counts must sum.
+    On mismatch :class:`CompactionIntegrityError` aborts BEFORE the swap —
+    CURRENT is untouched and the half-written dir is vacuumable.
+
+    Snapshot identity: a bucket whose merged entries all share one source
+    snapshot keeps it (batch resume stays a no-op); mixed-epoch buckets
+    get ``compacted:v<N>`` — a later batch run over those buckets falls
+    back to conservative re-extraction, never silent reuse.
+    """
+    m = load_manifest(output_dir)
+    sel = None if buckets is None else set(buckets)
+
+    def _selected(key: str) -> bool:
+        return sel is None or int(key.split("/")[-1]) in sel
+
+    merged = {k: e for k, e in m["buckets"].items() if _selected(k)}
+    if not merged:
+        return m
+
+    expected: dict[int, tuple[int, int, int]] = {}
+    snaps: dict[int, set] = {}
+    for k, e in merged.items():
+        b = int(k.split("/")[-1])
+        t, s, h = expected.get(b, (0, 0, 0))
+        expected[b] = (
+            t + int(e["turn_count"]),
+            s + int(e["span_count"]),
+            h ^ int(e["partition_hash"], 16),
+        )
+        snaps.setdefault(b, set()).add(e["snapshot"])
+
+    run_id = f"compact-v{m['version']}-{uuid.uuid4().hex[:8]}"
+    rows = read_results(spark, output_dir, version=m["version"])
+    if sel is not None:
+        rows = rows.filter(F.col("bucket").isin(sorted(sel)))
+    rdir = _run_dir(output_dir, run_id)
+    rows.write.mode("errorifexists").partitionBy("bucket").parquet(rdir)
+    written = spark.read.option("basePath", rdir).parquet(rdir)
+    got = {
+        int(r["bucket"]): (
+            int(r["turn_count"]),
+            int(r["span_count"] or 0),
+            int(r["partition_hash"], 16),
+        )
+        for r in _bucket_stats(written)
+    }
+    want = {b: v for b, v in expected.items() if v[0] > 0}
+    if got != want:
+        bad = sorted(set(got) ^ set(want)) or sorted(
+            b for b in want if got.get(b) != want[b]
+        )
+        raise CompactionIntegrityError(
+            f"compacted buckets {bad} do not match the manifest "
+            f"(run dir {run_id} left orphaned; CURRENT not advanced)"
+        )
+
+    updates = {
+        str(b): {
+            "run_id": run_id if t > 0 else None,
+            "snapshot": (
+                next(iter(snaps[b]))
+                if len(snaps[b]) == 1
+                else f"compacted:v{m['version']}"
+            ),
+            "partition_hash": format(h, "x"),
+            "turn_count": t,
+            "span_count": s,
+        }
+        for b, (t, s, h) in expected.items()
+    }
+    # full key replacement for the selected buckets: carry forward only the
+    # UNselected keys, then CAS on top of the version we compacted
+    base = {
+        "version": m["version"],
+        "buckets": {k: e for k, e in m["buckets"].items() if not _selected(k)},
+    }
+    return _commit_manifest(output_dir, base, updates)
+
+
 def vacuum(output_dir: str) -> list[str]:
     """Delete run dirs not referenced by the CURRENT manifest (orphans from
     crashed or superseded runs) and manifests older than CURRENT. Returns
@@ -264,24 +395,8 @@ def run_extraction_job_atomic(
 
         for i in range(0, len(pending), buckets_per_commit):
             batch = pending[i : i + buckets_per_commit]
-            stats = (
+            stats = _bucket_stats(
                 written.filter(F.col("bucket").isin(batch))  # partition-pruned
-                .groupBy("bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("turn_count"),
-                    F.sum("span_count").alias("span_count"),
-                    F.format_string(
-                        "%x",
-                        F.bit_xor(
-                            F.xxhash64(
-                                F.col("conv_id"),
-                                F.col("turn_idx"),
-                                F.col("extracted_text"),
-                            )
-                        ),
-                    ).alias("partition_hash"),
-                )
-                .collect()
             )
             by_bucket = {int(r["bucket"]): r for r in stats}
             updates: dict[str, dict] = {}
@@ -372,22 +487,7 @@ def commit_stream_batch(
     rdir = _run_dir(output_dir, run_id)
     bucketed.write.mode("errorifexists").partitionBy("bucket").parquet(rdir)
     written = spark.read.option("basePath", rdir).parquet(rdir)
-    stats = (
-        written.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("turn_count"),
-            F.sum("span_count").alias("span_count"),
-            F.format_string(
-                "%x",
-                F.bit_xor(
-                    F.xxhash64(
-                        F.col("conv_id"), F.col("turn_idx"), F.col("extracted_text")
-                    )
-                ),
-            ).alias("partition_hash"),
-        )
-        .collect()
-    )
+    stats = _bucket_stats(written)
     snapshot = f"epoch:{epoch}"
     updates = {
         f"{epoch}/{int(r['bucket'])}": {

@@ -2800,3 +2800,106 @@ FROM g
 
 EXT_QUERIES["stream_atomic_commit"] = q_stream_atomic_commit
 EXT_ORACLES["stream_atomic_commit"] = ORACLE_STREAM_ATOMIC_COMMIT
+
+
+# ---------------------------------------------------------------------------
+# Snapshot compaction: a two-epoch streaming-sink table (2 immutable run
+# dirs, epoch-scoped keys — the small-files shape a long-running stream
+# accretes) is collapsed into ONE bucketed run dir by an atomic manifest
+# swap. The query certifies: keys collapse to plain bucket ids over a single
+# run, per-bucket hashes/counts of the compacted data equal the XOR/sums of
+# the entries they merged, vacuum reclaims exactly the two superseded dirs,
+# and the visible rows are unchanged. DuckDB replays the totals.
+# ---------------------------------------------------------------------------
+
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .operators.extraction import extract_turns
+    from .plans import manifest as M
+
+    t = transcripts_from_docs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="compact_oracle_")
+    try:
+        batch = extract_turns(t)
+        half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+        M.commit_stream_batch(batch.filter(half), 0, out, n_buckets=8)
+        M.commit_stream_batch(batch.filter(~half), 1, out, n_buckets=8)
+        v = M.current_version(out)
+
+        m = M.compact(spark, out)
+        keys_ok = (
+            m["version"] == v + 1
+            and all("/" not in k for k in m["buckets"])
+            and len({e["run_id"] for e in m["buckets"].values()
+                     if e["run_id"] is not None}) == 1
+        )
+        orphans = [p for p in M.vacuum(out) if f"{_os.sep}data{_os.sep}" in p]
+
+        recomputed = (
+            M.read_results(spark, out)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rc_turns"),
+                F.sum("span_count").alias("rc_spans"),
+                F.format_string(
+                    "%x",
+                    F.bit_xor(
+                        F.xxhash64(
+                            F.col("conv_id"), F.col("turn_idx"),
+                            F.col("extracted_text"),
+                        )
+                    ),
+                ).alias("rc_hash"),
+            )
+        )
+        ment = spark.createDataFrame(
+            [
+                (int(b), e["partition_hash"], e["turn_count"], e["span_count"])
+                for b, e in m["buckets"].items()
+            ],
+            "bucket int, partition_hash string, turn_count long, span_count long",
+        )
+        j = ment.join(recomputed, "bucket", "full_outer")
+        data_match = (
+            (F.col("partition_hash") == F.col("rc_hash"))
+            & (F.col("turn_count") == F.col("rc_turns"))
+            & (F.col("span_count") == F.col("rc_spans"))
+        )
+        empty_ok = (F.col("turn_count") == 0) & F.col("rc_turns").isNull()
+        row = j.agg(
+            F.sum("rc_turns").alias("turns"),
+            F.sum("rc_spans").alias("spans"),
+            F.min(
+                F.coalesce(data_match, F.lit(False))
+                | F.coalesce(empty_ok, F.lit(False))
+            ).alias("ok"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    int(row["turns"]),
+                    int(row["spans"]),
+                    bool(row["ok"]) and keys_ok and len(orphans) == 2,
+                )
+            ],
+            "total_turns long, total_spans long, compaction_atomic boolean",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORACLE_COMPACTION_ROUNDTRIP = (
+    _ORACLE_DERIVE_REF
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_turns,
+       CAST(SUM(span_count) AS BIGINT) AS total_spans,
+       TRUE AS compaction_atomic
+FROM g
+"""
+)
+
+EXT_QUERIES["compaction_roundtrip"] = q_compaction_roundtrip
+EXT_ORACLES["compaction_roundtrip"] = ORACLE_COMPACTION_ROUNDTRIP

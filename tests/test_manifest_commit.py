@@ -60,14 +60,24 @@ def _verify_manifest_vs_data(spark, out):
         )
         .collect()
     }
-    for b, ent in m["buckets"].items():
-        b = int(b)
-        if ent["turn_count"] == 0:
+    # keys may be plain ("<b>") or epoch-scoped ("<epoch>/<b>"): entries of
+    # one bucket sum (counts) / XOR (hashes) — disjoint row sets combine
+    want: dict[int, tuple[int, int, int]] = {}
+    for k, ent in m["buckets"].items():
+        b = int(k.split("/")[-1])
+        t, s, h = want.get(b, (0, 0, 0))
+        want[b] = (
+            t + ent["turn_count"],
+            s + ent["span_count"],
+            h ^ int(ent["partition_hash"], 16),
+        )
+    for b, (t, s, h) in want.items():
+        if t == 0:
             assert b not in rec
             continue
-        assert rec[b]["n"] == ent["turn_count"]
-        assert int(rec[b]["s"]) == ent["span_count"]
-        assert rec[b]["h"] == ent["partition_hash"]
+        assert rec[b]["n"] == t
+        assert int(rec[b]["s"]) == s
+        assert int(rec[b]["h"], 16) == h
 
 
 def test_full_run_then_reader_sees_everything(spark, sdf, tmp_path_factory):
@@ -284,3 +294,105 @@ def test_stream_replayed_epoch_is_idempotent(spark, sdf, tmp_path_factory):
     removed = M.vacuum(out)
     assert len([p for p in removed if "/data/" in p]) == 1  # the orphan
     assert M.read_results(spark, out).count() == len(after)
+
+
+# -- snapshot compaction ------------------------------------------------------
+
+def _two_epoch_table(spark, sdf, out):
+    """Commit the extraction output as two micro-batch epochs (2 run dirs,
+    epoch-scoped keys)."""
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.operators.extraction import extract_turns
+
+    batch = extract_turns(sdf)
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    M.commit_stream_batch(batch.filter(half), 0, out, n_buckets=N_BUCKETS)
+    M.commit_stream_batch(batch.filter(~half), 1, out, n_buckets=N_BUCKETS)
+
+
+def test_compact_collapses_epochs(spark, sdf, tmp_path_factory):
+    import os as _os
+
+    out = str(tmp_path_factory.mktemp("compact"))
+    _two_epoch_table(spark, sdf, out)
+    before = _collect_sorted(spark, out)
+    v = M.current_version(out)
+    assert len(_os.listdir(_os.path.join(out, "data"))) == 2
+
+    m = M.compact(spark, out)
+    assert m["version"] == v + 1
+    # keys collapsed to plain bucket ids, one live run dir
+    assert all("/" not in k for k in m["buckets"])
+    assert len({e["run_id"] for e in m["buckets"].values()}) == 1
+    after = _collect_sorted(spark, out)
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, after)
+    _verify_manifest_vs_data(spark, out)
+    # old epoch dirs became orphans; vacuum removes exactly those two
+    removed = M.vacuum(out)
+    assert len([p for p in removed if f"{_os.sep}data{_os.sep}" in p]) == 2
+    pd.testing.assert_frame_equal(before, _collect_sorted(spark, out))
+    # time-travel to the pre-compaction version is gone only because vacuum
+    # ran; compaction itself kept it (checked before vacuum via `before`)
+
+
+def test_compact_partial_bucket_range(spark, sdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("compact_part"))
+    _two_epoch_table(spark, sdf, out)
+    before = _collect_sorted(spark, out)
+    pick = [0, 1, 2, 3]
+    m = M.compact(spark, out, buckets=pick)
+    plain = {k for k in m["buckets"] if "/" not in k}
+    assert plain == {str(b) for b in pick}
+    # unselected buckets keep their epoch-scoped keys
+    assert any("/" in k for k in m["buckets"])
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, _collect_sorted(spark, out))
+    _verify_manifest_vs_data(spark, out)
+    # second pass compacts the rest
+    M.compact(spark, out)
+    m2 = M.load_manifest(out)
+    assert all("/" not in k for k in m2["buckets"])
+    pd.testing.assert_frame_equal(before, _collect_sorted(spark, out))
+
+
+def test_compact_preserves_single_snapshot_resume(spark, sdf, tmp_path_factory):
+    """Compacting a single-snapshot batch table keeps the snapshot ids, so a
+    rerun still resumes as a no-op."""
+    out = str(tmp_path_factory.mktemp("compact_resume"))
+    M.run_extraction_job_atomic(
+        spark, sdf, out, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    snaps = {e["snapshot"] for e in M.load_manifest(out)["buckets"].values()}
+    M.compact(spark, out)
+    m = M.load_manifest(out)
+    assert {e["snapshot"] for e in m["buckets"].values()} == snaps
+    summary = M.run_extraction_job_atomic(
+        spark, sdf, out, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    assert summary["buckets_processed"] == []
+    assert M.current_version(out) == m["version"]
+
+
+def test_compact_integrity_abort_leaves_current(spark, sdf, tmp_path_factory):
+    """A manifest that disagrees with its data (simulated corruption) makes
+    compaction abort BEFORE the swap: CURRENT unchanged, orphan vacuumable."""
+    import os as _os
+
+    out = str(tmp_path_factory.mktemp("compact_bad"))
+    _two_epoch_table(spark, sdf, out)
+    v = M.current_version(out)
+    # tamper: bump a turn_count in a NEW manifest version (as if a buggy
+    # writer certified stats that the data doesn't back)
+    m = M.load_manifest(out)
+    k = sorted(k for k, e in m["buckets"].items() if e["turn_count"] > 0)[0]
+    m["buckets"][k]["turn_count"] += 1
+    M._commit_manifest(out, {"version": v, "buckets": m["buckets"]}, {})
+    v2 = M.current_version(out)
+    with pytest.raises(M.CompactionIntegrityError):
+        M.compact(spark, out)
+    assert M.current_version(out) == v2
+    orphans = [p for p in M.vacuum(out) if f"{_os.sep}data{_os.sep}" in p]
+    assert len(orphans) == 1  # the aborted compaction dir
+    assert M.read_results(spark, out).count() > 0
