@@ -172,7 +172,82 @@ def read_results(
         return _empty_results_frame(spark)
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
+        # schema evolution across runs: a run written before a column was
+        # added reads as null for it (parquet files are immutable; the
+        # union is the merge point, like Iceberg's add-column metadata-only
+        # evolution)
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def read_incremental(
+    spark: SparkSession,
+    output_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows of commit units added or changed between two manifest versions
+    (CDC-style incremental read; granularity = the commit key, so a
+    re-extracted bucket is re-emitted in full).
+
+    A downstream pipeline that processed version ``from_version`` calls this
+    to get exactly the new data: manifest keys whose entry appeared or
+    changed content since then. Because data files are immutable and a
+    key's entry only ever changes by pointing at a NEW run dir, the manifest
+    diff IS the change log — no file listing, no timestamps. Reads are
+    partition-pruned to exactly the changed (run_id, bucket) pairs, so the
+    cost scales with the delta, not the table.
+
+    Compaction rewrites entries without changing rows; its keys are skipped
+    when the merged content hash is unchanged (plain-key entry whose hash
+    equals the XOR of the prior epoch entries for that bucket), so consumers
+    don't reprocess compacted-but-identical data.
+    """
+    old = load_manifest(output_dir, from_version)
+    new = load_manifest(
+        output_dir, to_version if to_version is not None else None
+    )
+
+    # XOR-combined per-bucket (hash, rows) of the OLD version: a plain-key
+    # entry matching it is a compaction product, not new data
+    old_stats: dict[int, tuple[int, int]] = {}
+    for k, e in old["buckets"].items():
+        b = int(k.split("/")[-1])
+        h, t = old_stats.get(b, (0, 0))
+        old_stats[b] = (h ^ int(e["partition_hash"], 16), t + e["turn_count"])
+
+    by_run: dict[str, list[int]] = {}
+    for k, e in new["buckets"].items():
+        if e["run_id"] is None or e["turn_count"] <= 0:
+            continue
+        prior = old["buckets"].get(k)
+        if prior is not None and prior["run_id"] == e["run_id"]:
+            continue  # unchanged entry
+        if (
+            prior is not None
+            and prior["partition_hash"] == e["partition_hash"]
+            and prior["turn_count"] == e["turn_count"]
+        ):
+            continue  # identical recommit (e.g. replayed streaming epoch)
+        b = int(k.split("/")[-1])
+        if "/" not in k and old_stats.get(b) == (
+            int(e["partition_hash"], 16),
+            e["turn_count"],
+        ):
+            continue  # compacted: same rows under a new key/run
+        by_run.setdefault(e["run_id"], []).append(b)
+
+    frames = [
+        spark.read.option("basePath", _run_dir(output_dir, rid)).parquet(
+            *[os.path.join(_run_dir(output_dir, rid), f"bucket={b}") for b in sorted(set(bs))]
+        )
+        for rid, bs in sorted(by_run.items())
+    ]
+    if not frames:
+        return _empty_results_frame(spark)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
     return out
 
 

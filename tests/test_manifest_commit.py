@@ -396,3 +396,95 @@ def test_compact_integrity_abort_leaves_current(spark, sdf, tmp_path_factory):
     orphans = [p for p in M.vacuum(out) if f"{_os.sep}data{_os.sep}" in p]
     assert len(orphans) == 1  # the aborted compaction dir
     assert M.read_results(spark, out).count() > 0
+
+
+# -- incremental (CDC-style) reads + schema evolution -------------------------
+
+def test_read_incremental_batch_delta(spark, sdf, tmp_path_factory):
+    """Consumer at version v gets exactly the buckets committed after v."""
+    out = str(tmp_path_factory.mktemp("incr_batch"))
+    try:
+        M.run_extraction_job_atomic(
+            spark, sdf, out, n_buckets=N_BUCKETS,
+            buckets_per_commit=PER_COMMIT, fail_after_commits=2,
+        )
+    except SimulatedFailure:
+        pass
+    v_mid = M.current_version(out)
+    assert v_mid == 2
+    M.run_extraction_job_atomic(
+        spark, sdf, out, n_buckets=N_BUCKETS, buckets_per_commit=PER_COMMIT
+    )
+    v_end = M.current_version(out)
+
+    full = M.read_results(spark, out).count()
+    first = M.read_results(spark, out, version=v_mid).count()
+    delta = M.read_incremental(spark, out, v_mid)
+    assert delta.count() == full - first
+    mid_buckets = {
+        int(k) for k in M.load_manifest(out, v_mid)["buckets"]
+    }
+    got_buckets = {
+        int(r["bucket"]) for r in delta.select("bucket").distinct().collect()
+    }
+    assert got_buckets.isdisjoint(mid_buckets)
+    # from genesis = everything; from the tip = nothing
+    assert M.read_incremental(spark, out, 0).count() == full
+    assert M.read_incremental(spark, out, v_end).count() == 0
+
+
+def test_read_incremental_stream_epochs_and_replay(spark, sdf, tmp_path_factory):
+    from marie_icr_spark.operators.extraction import extract_turns
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("incr_stream"))
+    batch = extract_turns(sdf)
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    M.commit_stream_batch(batch.filter(half), 0, out, n_buckets=N_BUCKETS)
+    v1 = M.current_version(out)
+    M.commit_stream_batch(batch.filter(~half), 1, out, n_buckets=N_BUCKETS)
+    v2 = M.current_version(out)
+
+    # delta v1→v2 is exactly epoch 1's rows
+    assert M.read_incremental(spark, out, v1, v2).count() == (
+        batch.filter(~half).count()
+    )
+    # a replayed epoch (identical recommit under a fresh run dir) is no delta
+    M.commit_stream_batch(batch.filter(~half), 1, out, n_buckets=N_BUCKETS)
+    assert M.read_incremental(spark, out, v2).count() == 0
+
+
+def test_read_incremental_skips_pure_compaction(spark, sdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("incr_compact"))
+    _two_epoch_table(spark, sdf, out)
+    v = M.current_version(out)
+    M.compact(spark, out)
+    assert M.read_incremental(spark, out, v).count() == 0
+    # and compacting a compacted (plain-key) table is also no delta
+    v2 = M.current_version(out)
+    M.compact(spark, out)
+    assert M.read_incremental(spark, out, v2).count() == 0
+
+
+def test_schema_evolution_across_runs(spark, sdf, tmp_path_factory):
+    """A column added in a later run reads as null for earlier runs' rows —
+    immutable files + union-time merge (Iceberg-style add-column)."""
+    from marie_icr_spark.operators.extraction import extract_turns
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("schema_evo"))
+    batch = extract_turns(sdf)
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    M.commit_stream_batch(batch.filter(half), 0, out, n_buckets=N_BUCKETS)
+    M.commit_stream_batch(
+        batch.filter(~half).withColumn("lang", F.lit("en")), 1, out,
+        n_buckets=N_BUCKETS,
+    )
+    got = M.read_results(spark, out)
+    assert "lang" in got.columns
+    n_old = batch.filter(half).count()
+    assert got.filter(F.col("lang").isNull()).count() == n_old
+    assert got.filter(F.col("lang") == "en").count() == sdf.count() - n_old
+    # incremental read across the evolution boundary also merges schemas
+    inc = M.read_incremental(spark, out, 0)
+    assert "lang" in inc.columns and inc.count() == sdf.count()
