@@ -368,13 +368,37 @@ def compact(
         }
         for b, (t, s, h) in expected.items()
     }
-    # full key replacement for the selected buckets: carry forward only the
-    # UNselected keys, then CAS on top of the version we compacted
+    # full key replacement for the merged keys: carry forward every OTHER
+    # key, then CAS on top of the version we compacted. If a concurrent
+    # writer (e.g. the streaming sink) committed meanwhile, retry on the
+    # fresh manifest — safe iff every key we merged is still there
+    # unchanged (new epochs are simply carried forward; a replaced/removed
+    # merged key means our run dir no longer reflects the table → abort).
     base = {
         "version": m["version"],
-        "buckets": {k: e for k, e in m["buckets"].items() if not _selected(k)},
+        "buckets": {k: e for k, e in m["buckets"].items() if k not in merged},
     }
-    return _commit_manifest(output_dir, base, updates)
+    while True:
+        try:
+            return _commit_manifest(output_dir, base, updates)
+        except CommitConflict:
+            fresh = load_manifest(output_dir)
+            for k, e in merged.items():
+                cur = fresh["buckets"].get(k)
+                if cur is None or cur["run_id"] != e["run_id"]:
+                    raise CompactionIntegrityError(
+                        f"merged key {k!r} changed during compaction "
+                        f"(run dir {run_id} left orphaned; CURRENT not "
+                        "advanced by this compaction)"
+                    )
+            base = {
+                "version": fresh["version"],
+                "buckets": {
+                    k: e
+                    for k, e in fresh["buckets"].items()
+                    if k not in merged
+                },
+            }
 
 
 def vacuum(output_dir: str) -> list[str]:

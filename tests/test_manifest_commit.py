@@ -488,3 +488,75 @@ def test_schema_evolution_across_runs(spark, sdf, tmp_path_factory):
     # incremental read across the evolution boundary also merges schemas
     inc = M.read_incremental(spark, out, 0)
     assert "lang" in inc.columns and inc.count() == sdf.count()
+
+
+def test_compact_retries_past_concurrent_stream_commit(
+    spark, sdf, tmp_path_factory, monkeypatch
+):
+    """A streaming epoch that lands between compaction's read and its CAS
+    does not abort it: the retry carries the new epoch keys forward and the
+    final table holds both the compacted and the fresh rows."""
+    from marie_icr_spark.operators.extraction import extract_turns
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("compact_race"))
+    batch = extract_turns(sdf)
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    M.commit_stream_batch(batch.filter(half), 0, out, n_buckets=N_BUCKETS)
+
+    real = M._commit_manifest
+    state = {"injected": False}
+
+    def racing(output_dir, base, updates):
+        # compact()'s commit has plain keys; epoch commits have "<e>/<b>"
+        if not state["injected"] and any("/" not in k for k in updates):
+            state["injected"] = True
+            M.commit_stream_batch(
+                batch.filter(~half), 1, out, n_buckets=N_BUCKETS
+            )
+        return real(output_dir, base, updates)
+
+    monkeypatch.setattr(M, "_commit_manifest", racing)
+    m = M.compact(spark, out)
+    assert state["injected"]
+    # epoch-1 keys carried forward next to the compacted plain keys
+    assert any("/" in k for k in m["buckets"])
+    assert any("/" not in k for k in m["buckets"])
+    assert M.read_results(spark, out).count() == sdf.count()
+    _verify_manifest_vs_data(spark, out)
+
+
+def test_compact_aborts_if_merged_key_replaced_concurrently(
+    spark, sdf, tmp_path_factory, monkeypatch
+):
+    """If a merged key itself changed mid-compaction (epoch replay), the
+    compacted dir no longer reflects the table: abort, CURRENT untouched by
+    the compaction, orphan vacuumable."""
+    from marie_icr_spark.operators.extraction import extract_turns
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("compact_race_bad"))
+    batch = extract_turns(sdf)
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    M.commit_stream_batch(batch.filter(half), 0, out, n_buckets=N_BUCKETS)
+
+    real = M._commit_manifest
+    state = {"injected": False}
+
+    def racing(output_dir, base, updates):
+        if not state["injected"] and any("/" not in k for k in updates):
+            state["injected"] = True
+            # replay epoch 0: same keys, fresh run dir
+            M.commit_stream_batch(
+                batch.filter(half), 0, out, n_buckets=N_BUCKETS
+            )
+        return real(output_dir, base, updates)
+
+    monkeypatch.setattr(M, "_commit_manifest", racing)
+    with pytest.raises(M.CompactionIntegrityError):
+        M.compact(spark, out)
+    # reader still consistent; the aborted compaction dir is an orphan
+    assert M.read_results(spark, out).count() == batch.filter(half).count()
+    _verify_manifest_vs_data(spark, out)
+    orphans = [p for p in M.vacuum(out) if "compact-" in p]
+    assert len(orphans) == 1
