@@ -1,0 +1,129 @@
+"""End-to-end training-corpus curation pipeline over transcripts.
+
+One declarative plan chains the engine's certified operators into the
+pipeline a large-scale LLM-data run needs (the reference's pipeline stages
+feed archived docs through extract → classify → store one job at a time,
+``/root/reference/marie/pipe/extract_pipeline.py``; here the corpus shape
+is the product):
+
+    extraction → conversation assembly → quality gate → language ID →
+    exact dedup → near-dup survivors (inverted-index Jaccard + connected
+    components) → stratified hash sampling
+
+Every stage is pure Column algebra or an already-scale-audited operator
+(PLANS.md): the only shuffles are the assembly two-phase agg, the dedup
+joins, and the component rounds — no new scan shapes. The result commits
+through the atomic catalog (``plans.manifest.commit_table``) from the CLI
+(``jobs/run_corpus_pipeline.py``), and the whole composition is
+hash-certified against DuckDB by the ``corpus_pipeline`` oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: pinned defaults — replayed verbatim by the corpus_pipeline oracle
+MIN_QUALITY = 0.5
+JACCARD_THRESHOLD = 0.5
+SAMPLE_RATES = {"en": 0.6, "und": 1.0}
+SAMPLE_DEFAULT_RATE = 0.3
+SAMPLE_SALT = "sample:v1"
+
+
+def build_corpus(
+    transcripts: DataFrame,
+    min_quality: float = MIN_QUALITY,
+    jaccard_threshold: float | None = JACCARD_THRESHOLD,
+    rates: dict[str, float] | None = None,
+    default_rate: float = SAMPLE_DEFAULT_RATE,
+    sample_salt: str = SAMPLE_SALT,
+    mode: str = "sparse",
+) -> DataFrame:
+    """Transcripts → curated conversation corpus.
+
+    Output: (conv_id, conversation_text, turn_count, n_tokens, quality,
+    pred_lang). ``jaccard_threshold=None`` skips the near-dup stage;
+    ``rates=None`` skips sampling (rates are per ``pred_lang``).
+    """
+    from ..functions.columns import portable_hash31
+    from ..operators.assembly import assemble_conversations
+    from ..operators.dedup import jaccard_pairs
+    from ..operators.extraction import extract_turns
+    from ..operators.textstats import (
+        language_id,
+        quality_score,
+        stratified_hash_sample,
+    )
+
+    convs = assemble_conversations(extract_turns(transcripts, mode=mode))
+
+    q = quality_score(
+        convs, text_col="conversation_text", id_cols=("conv_id",)
+    ).select("conv_id", "n_tokens", "quality")
+    convs = convs.join(q, "conv_id").filter(F.col("quality") >= min_quality)
+
+    lang = language_id(
+        convs, text_col="conversation_text", id_cols=("conv_id",)
+    ).select("conv_id", "pred_lang")
+    convs = convs.join(lang, "conv_id")
+
+    # the curated frame fans out (dedup group-agg + join, shingle index,
+    # survivor anti-join) and the component loop re-derives its edges every
+    # round — without a persist the whole extract→assemble→score upstream
+    # re-runs once per consumer. MEMORY_AND_DISK: the curated corpus is a
+    # small fraction of the input, and spilling beats recomputing.
+    from pyspark import StorageLevel
+
+    convs = convs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # exact dedup: smallest conv_id survives per identical text (grouping on
+    # the md5, not the full string — the shuffle key stays 32 bytes)
+    content = F.md5(F.col("conversation_text"))
+    keep = (
+        convs.select(content.alias("_m"), "conv_id")
+        .groupBy("_m")
+        .agg(F.min("conv_id").alias("_keep"))
+    )
+    convs = (
+        convs.withColumn("_m", content)
+        .join(keep, "_m")
+        .filter(F.col("conv_id") == F.col("_keep"))
+        .drop("_m", "_keep")
+    )
+
+    if jaccard_threshold is not None:
+        from ..operators.components import connected_components
+
+        # vertex ids must be integral for the component rounds; the
+        # cross-engine portable hash keeps the min-label choice (and any
+        # 31-bit collision) identical in the oracle replay
+        ids = convs.withColumn("cid", portable_hash31(F.col("conv_id")))
+        pairs = jaccard_pairs(
+            ids, jaccard_threshold, id_col="cid", text_col="conversation_text"
+        ).persist(StorageLevel.MEMORY_AND_DISK)  # reused every CC round
+        losers = (
+            connected_components(pairs)
+            .filter(F.col("component") < F.col("vertex"))
+            .select(F.col("vertex").alias("cid"))
+        )
+        convs = ids.join(losers, "cid", "left_anti").drop("cid")
+
+    if rates:
+        convs = stratified_hash_sample(
+            convs,
+            rates,
+            strata_col="pred_lang",
+            key_col="conv_id",
+            default_rate=default_rate,
+            salt=sample_salt,
+        )
+
+    return convs.select(
+        "conv_id",
+        "conversation_text",
+        "turn_count",
+        "n_tokens",
+        "quality",
+        "pred_lang",
+    )

@@ -125,6 +125,8 @@ def _commit_manifest(output_dir: str, base: dict, updates: dict) -> dict:
         "version": new_version,
         "buckets": {**base.get("buckets", {}), **updates},
     }
+    if base.get("stats"):
+        manifest["stats"] = base["stats"]
     path = _manifest_path(output_dir, new_version)
     try:
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
@@ -251,25 +253,47 @@ def read_incremental(
     return out
 
 
-def _bucket_stats(written: DataFrame) -> list:
+#: certification columns for the extraction tables (the default schema);
+#: generic tables record their own choice in the manifest's "stats" block
+DEFAULT_STATS = {
+    "hash_cols": ["conv_id", "turn_idx", "extracted_text"],
+    "sum_col": "span_count",
+}
+
+
+def _stats_of(manifest: dict) -> tuple[list, str | None]:
+    s = manifest.get("stats") or DEFAULT_STATS
+    return list(s["hash_cols"]), s.get("sum_col")
+
+
+def _bucket_stats(
+    written: DataFrame,
+    hash_cols: list | tuple | None = None,
+    sum_col: str | None = DEFAULT_STATS["sum_col"],
+) -> list:
     """Per-bucket (turn_count, span_count, partition_hash) recomputed from
     written partitions — the read-back certification every commit path uses.
     ``bit_xor(xxhash64(...))`` is order-insensitive AND XOR-combinable:
     the hash of a union of disjoint row sets is the XOR of their hashes,
     which is what lets :func:`compact` verify a merged bucket against the
-    epoch-scoped entries it collapses without rereading the old dirs."""
+    epoch-scoped entries it collapses without rereading the old dirs.
+
+    ``hash_cols``/``sum_col`` default to the extraction schema; generic
+    tables (:func:`commit_table`) pass their own and the choice is recorded
+    in the manifest's ``stats`` block so later compactions recompute the
+    same certification."""
+    hc = hash_cols or DEFAULT_STATS["hash_cols"]
+    sc = sum_col
     return (
         written.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("turn_count"),
-            F.sum("span_count").alias("span_count"),
+            (
+                F.sum(sc) if sc else F.lit(0).cast("long")
+            ).alias("span_count"),
             F.format_string(
                 "%x",
-                F.bit_xor(
-                    F.xxhash64(
-                        F.col("conv_id"), F.col("turn_idx"), F.col("extracted_text")
-                    )
-                ),
+                F.bit_xor(F.xxhash64(*[F.col(c) for c in hc])),
             ).alias("partition_hash"),
         )
         .collect()
@@ -336,13 +360,14 @@ def compact(
     rdir = _run_dir(output_dir, run_id)
     rows.write.mode("errorifexists").partitionBy("bucket").parquet(rdir)
     written = spark.read.option("basePath", rdir).parquet(rdir)
+    hash_cols, sum_col = _stats_of(m)
     got = {
         int(r["bucket"]): (
             int(r["turn_count"]),
             int(r["span_count"] or 0),
             int(r["partition_hash"], 16),
         )
-        for r in _bucket_stats(written)
+        for r in _bucket_stats(written, hash_cols, sum_col)
     }
     want = {b: v for b, v in expected.items() if v[0] > 0}
     if got != want:
@@ -377,6 +402,7 @@ def compact(
     base = {
         "version": m["version"],
         "buckets": {k: e for k, e in m["buckets"].items() if k not in merged},
+        "stats": m.get("stats"),
     }
     while True:
         try:
@@ -398,6 +424,7 @@ def compact(
                     for k, e in fresh["buckets"].items()
                     if k not in merged
                 },
+                "stats": fresh.get("stats"),
             }
 
 
@@ -623,3 +650,63 @@ def commit_stream_batch(
         return _commit_manifest(output_dir, load_manifest(output_dir), updates)
     except CommitConflict:
         return _commit_manifest(output_dir, load_manifest(output_dir), updates)
+
+
+def commit_table(
+    df: DataFrame,
+    output_dir: str,
+    key_col: str,
+    n_buckets: int = 64,
+    hash_cols: list | tuple | None = None,
+    sum_col: str | None = None,
+    snapshot: str | None = None,
+) -> dict:
+    """Commit an ARBITRARY DataFrame as one atomic manifest-swap snapshot.
+
+    The schema-generic face of the catalog (the extraction jobs hardwire
+    the transcript schema): rows are bucketed by ``xxhash64(key_col)``,
+    written to an immutable run dir, certified by read-back
+    :func:`_bucket_stats` over ``hash_cols`` (default: the key column), and
+    made visible in one CURRENT swap. The stats choice is recorded in the
+    manifest's ``stats`` block so :func:`compact` recomputes the same
+    certification later. Readers: :func:`read_results` /
+    :func:`read_incremental`; re-committing appends a new version whose
+    plain bucket keys supersede the old (full-snapshot-replace semantics —
+    use the extraction jobs for incremental bucket-level resume).
+    """
+    spark = df.sparkSession
+    hc = [str(c) for c in (hash_cols or (key_col,))]
+    run_id = uuid.uuid4().hex
+    bucketed = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    )
+    rdir = _run_dir(output_dir, run_id)
+    bucketed.write.mode("errorifexists").partitionBy("bucket").parquet(rdir)
+    written = spark.read.option("basePath", rdir).parquet(rdir)
+    snap = snapshot or f"table:{run_id[:8]}"
+    updates = {
+        str(int(r["bucket"])): {
+            "run_id": run_id,
+            "snapshot": snap,
+            "partition_hash": r["partition_hash"],
+            "turn_count": int(r["turn_count"]),
+            "span_count": int(r["span_count"] or 0),
+        }
+        for r in _bucket_stats(written, hc, sum_col)
+    }
+    while True:
+        m = load_manifest(output_dir)
+        if m.get("stats") not in (None, {"hash_cols": hc, "sum_col": sum_col}):
+            raise CommitConflict(
+                f"table at {output_dir} was committed with different stats "
+                f"columns ({m['stats']}); refusing to mix certifications"
+            )
+        base = {
+            "version": m["version"],
+            "buckets": m["buckets"],
+            "stats": {"hash_cols": hc, "sum_col": sum_col},
+        }
+        try:
+            return _commit_manifest(output_dir, base, updates)
+        except CommitConflict:
+            continue

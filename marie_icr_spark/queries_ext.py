@@ -2903,3 +2903,109 @@ FROM g
 
 EXT_QUERIES["compaction_roundtrip"] = q_compaction_roundtrip
 EXT_ORACLES["compaction_roundtrip"] = ORACLE_COMPACTION_ROUNDTRIP
+
+
+# ---------------------------------------------------------------------------
+# The full training-corpus curation pipeline as ONE hash-certified query:
+# extract → assemble → quality gate → language ID → exact dedup → near-dup
+# survivors (inverted-index Jaccard + connected components) → stratified
+# sample. The DuckDB twin replays every stage — including the recursive-CTE
+# component labels and the portable-hash sample gate — over the same derived
+# transcripts, so a value-hash match certifies the composition end-to-end,
+# not just the stages in isolation.
+# ---------------------------------------------------------------------------
+
+from .operators.textstats import LANG_MIN_SCORE  # noqa: E402
+from .plans import corpus as _CP  # noqa: E402
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_docs(spark, sf_dir)
+    return _CP.build_corpus(t, rates=dict(_CP.SAMPLE_RATES))
+
+
+def _corpus_pipeline_oracle_sql() -> str:
+    sample_gate = portable_hash31_sql(f"'{_CP.SAMPLE_SALT}:' || conv_id")
+    rate_cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * 1_000_000)}"
+        for k, v in sorted(_CP.SAMPLE_RATES.items())
+    )
+    default_millionths = int(_CP.SAMPLE_DEFAULT_RATE * 1_000_000)
+    return f"""{_ORACLE_DERIVE_REF},
+conv AS (
+  SELECT conv_id,
+         string_agg(extracted_text, chr(12) ORDER BY turn_idx)
+           AS conversation_text,
+         CAST(COUNT(*) AS BIGINT) AS turn_count
+  FROM g GROUP BY conv_id),
+tw AS (SELECT conv_id, conversation_text, turn_count,
+              {_TOKENS_SQL.format(e='conversation_text')} w
+       FROM conv),
+qx AS (SELECT *, len(w) n_toks,
+        len(conversation_text)
+          - len(regexp_replace(conversation_text, '[^A-Za-z0-9 ]', '', 'g'))
+          punct,
+        len(conversation_text) n_chars,
+        len(list_filter(w, t -> list_contains([{_ALL_STOP_SQL}], t))) n_stop
+      FROM tw),
+qr AS (SELECT conv_id, conversation_text, turn_count, w, n_toks,
+        (floor((CAST(punct AS DOUBLE) / greatest(n_chars, 1)) * 1000000.0 + 0.5) / 1000000.0) punct_ratio,
+        (floor((CAST(n_stop AS DOUBLE) / greatest(n_toks, 1)) * 1000000.0 + 0.5) / 1000000.0) stop_ratio
+      FROM qx),
+ql AS (SELECT *,
+        (floor((0.4 * least(1.0, n_toks / 64.0)
+                + 0.3 * (1.0 - least(1.0, punct_ratio * 4))
+                + 0.3 * least(1.0, stop_ratio * 4)) * 10000.0 + 0.5) / 10000.0)
+          AS quality
+      FROM qr),
+kept AS (SELECT * FROM ql WHERE quality >= {_CP.MIN_QUALITY}),
+lg AS (SELECT conv_id,
+        {_lang_score_sql('de')} s_de, {_lang_score_sql('en')} s_en,
+        {_lang_score_sql('es')} s_es, {_lang_score_sql('fr')} s_fr
+       FROM kept),
+lb AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) best FROM lg),
+lang AS (SELECT conv_id,
+        CASE WHEN best < {LANG_MIN_SCORE} THEN 'und'
+             WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+             WHEN s_es = best THEN 'es' ELSE 'fr' END AS pred_lang
+      FROM lb),
+kl AS (SELECT k.*, l.pred_lang FROM kept k JOIN lang l USING (conv_id)),
+ex AS (SELECT * FROM (
+        SELECT *, MIN(conv_id) OVER (PARTITION BY md5(conversation_text))
+                    _keep
+        FROM kl) WHERE conv_id = _keep),
+ids AS (SELECT *, {portable_hash31_sql('conv_id')} cid FROM ex),
+ss AS (SELECT cid did, {_SH_SQL} sh FROM ids),
+inv0 AS (SELECT did, unnest(sh) s FROM ss),
+shkeep AS (SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+inv AS (SELECT did, s FROM inv0 JOIN shkeep USING (s)),
+sz AS (SELECT did, COUNT(*) sz FROM inv GROUP BY did),
+i AS (SELECT x.did a, y.did b, COUNT(*) i FROM inv x JOIN inv y USING (s)
+      WHERE x.did < y.did GROUP BY 1, 2),
+pairs AS (
+  SELECT a, b FROM i JOIN sz za ON i.a = za.did JOIN sz zb ON i.b = zb.did
+  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= {_CP.JACCARD_THRESHOLD}
+),
+sym AS (SELECT a u, b v FROM pairs UNION SELECT b, a FROM pairs),
+rec AS (
+  WITH RECURSIVE reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+  )
+  SELECT u, v FROM reach
+),
+losers AS (SELECT u FROM rec GROUP BY u HAVING LEAST(u, MIN(v)) < u)
+SELECT conv_id, conversation_text, turn_count,
+       CAST(n_toks AS BIGINT) AS n_tokens, quality, pred_lang
+FROM ids
+WHERE cid NOT IN (SELECT u FROM losers)
+  AND ({sample_gate}) % 1000000 <
+      (CASE pred_lang {rate_cases} ELSE {default_millionths} END)
+"""
+
+
+ORACLE_CORPUS_PIPELINE = _corpus_pipeline_oracle_sql()
+
+EXT_QUERIES["corpus_pipeline"] = q_corpus_pipeline
+EXT_ORACLES["corpus_pipeline"] = ORACLE_CORPUS_PIPELINE

@@ -106,3 +106,80 @@ def test_cli_atomic_flag_commits_via_manifest(spark, input_dir, tmp_path_factory
     summary2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary2["buckets_processed"] == []
     assert M.current_version(out) == 2
+
+
+def test_corpus_pipeline_cli(spark, input_dir, tmp_path_factory, capsys):
+    """Transcripts → curated corpus through the atomic catalog: every stage
+    filter is reflected in the committed rows, the manifest certifies them,
+    and a second run supersedes the snapshot atomically."""
+    import run_corpus_pipeline
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.plans import corpus as C
+    from marie_icr_spark.plans import manifest as M
+
+    out = str(tmp_path_factory.mktemp("corpus_out"))
+    rc = run_corpus_pipeline.main(
+        ["--input", input_dir, "--output", out, "--n-buckets", "4"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = M.read_results(spark, out)
+    assert summary["conversations"] == got.count() > 0
+    assert summary["manifest_version"] == 1
+
+    # committed rows == the pipeline run directly (same params)
+    direct = C.build_corpus(
+        spark.read.parquet(input_dir), rates=dict(C.SAMPLE_RATES)
+    )
+    import pandas as pd
+
+    cols = ["conv_id", "conversation_text", "turn_count", "n_tokens",
+            "quality", "pred_lang"]
+    pd.testing.assert_frame_equal(
+        got.select(cols).sort("conv_id").toPandas(),
+        direct.select(cols).sort("conv_id").toPandas(),
+    )
+    # stage invariants: quality gate + exact dedup held
+    assert got.filter(F.col("quality") < C.MIN_QUALITY).count() == 0
+    assert (
+        got.select("conversation_text").distinct().count() == got.count()
+    )
+    # stats block recorded for the generic schema; manifest sums certify
+    m = M.load_manifest(out)
+    assert m["stats"]["hash_cols"] == ["conv_id", "conversation_text"]
+    assert sum(e["span_count"] for e in m["buckets"].values()) == (
+        got.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+
+    # re-run: full-snapshot replace, one new version, same visible rows
+    rc2 = run_corpus_pipeline.main(
+        ["--input", input_dir, "--output", out, "--n-buckets", "4"],
+        spark=spark,
+    )
+    assert rc2 == 0
+    assert M.current_version(out) == 2
+    assert M.read_results(spark, out).count() == got.count()
+
+
+def test_corpus_pipeline_cli_no_near_dup_rate_flags(
+    spark, input_dir, tmp_path_factory, capsys
+):
+    import run_corpus_pipeline
+
+    from marie_icr_spark.plans import manifest as M
+
+    out = str(tmp_path_factory.mktemp("corpus_nd"))
+    rc = run_corpus_pipeline.main(
+        ["--input", input_dir, "--output", out, "--no-near-dup",
+         "--rate", "en=1.0", "--rate", "und=1.0", "--default-rate", "1.0",
+         "--min-quality", "0.0", "--n-buckets", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # no quality gate, no sampling, no near-dup: only exact dedup can drop
+    n_convs = spark.read.parquet(input_dir).select("conv_id").distinct().count()
+    assert 0 < summary["conversations"] <= n_convs
+    assert M.read_results(spark, out).count() == summary["conversations"]
