@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.columns import rolling_fingerprint, round_half_up, ws_tokens
+from ..functions.columns import (
+    rolling_fingerprint,
+    round_half_up,
+    shingles,
+    ws_tokens,
+)
 
 # Pinned stopword sets (deterministic heuristic, not a model).
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -265,3 +270,53 @@ def stratified_hash_sample(
             F.col(strata_col) == stratum, F.lit(int(rate * 1_000_000))
         ).otherwise(expr)
     return df.filter(h < expr)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any word ``n``-gram with
+    a benchmark corpus — the eval-leak guard of a training-data pipeline
+    (the GPT-3/PaLM 8-gram membership test).
+
+    Output: (``id_col``, contaminated_ngrams bigint — DISTINCT doc n-grams
+    that appear anywhere in the benchmark, contaminated boolean).
+
+    Scale: the benchmark gram set is tiny next to the corpus (eval suites
+    are ~1e5-1e6 grams), so it broadcasts and the probe is a map-side hash
+    join against the exploded doc grams — the corpus is scanned once, no
+    corpus-wide shuffle before the per-doc count. Set
+    ``broadcast_benchmark=False`` for a shuffle join when it is not small.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles(ws_tokens(F.col(bench_text_col)), n)).alias("g")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles(ws_tokens(F.col(text_col)), n)).alias("g"),
+    )
+    hits = (
+        doc_grams.join(bench_grams, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("contaminated_ngrams"))
+    )
+    c = F.coalesce("contaminated_ngrams", F.lit(0)).cast("long")
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            c.alias("contaminated_ngrams"),
+            (c > 0).alias("contaminated"),
+        )
+    )

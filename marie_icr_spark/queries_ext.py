@@ -3009,3 +3009,40 @@ ORACLE_CORPUS_PIPELINE = _corpus_pipeline_oracle_sql()
 
 EXT_QUERIES["corpus_pipeline"] = q_corpus_pipeline
 EXT_ORACLES["corpus_pipeline"] = ORACLE_CORPUS_PIPELINE
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (the GPT-3/PaLM 8-gram membership test): docs
+# sharing any 8-gram with the benchmark slice (doc_id % 97 == 0 stands in
+# for a held-out eval suite) are flagged. Broadcast benchmark grams →
+# map-side probe; DuckDB replays the same distinct-shingle join.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8
+_DECON_BENCH_MOD = 97
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0)
+    return decontaminate(docs, bench, n=_DECON_N)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH bt AS (SELECT {_TOKENS_SQL.format(e='text')} w FROM documents
+            WHERE doc_id % {_DECON_BENCH_MOD} = 0),
+bg AS (SELECT DISTINCT unnest({shingles_sql('w', _DECON_N)}) g FROM bt),
+dt AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM documents),
+dgr AS (SELECT doc_id, unnest({shingles_sql('w', _DECON_N)}) g FROM dt),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) c
+         FROM dgr JOIN bg USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+       COALESCE(h.c, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+EXT_QUERIES["decontaminate"] = q_decontaminate
+EXT_ORACLES["decontaminate"] = ORACLE_DECONTAMINATE

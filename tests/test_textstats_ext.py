@@ -1,0 +1,58 @@
+"""Benchmark decontamination (operators/textstats.py::decontaminate)."""
+
+from pyspark.sql import functions as F
+
+from marie_icr_spark.operators.textstats import decontaminate
+
+
+def _frames(spark):
+    docs = spark.createDataFrame(
+        [
+            # 8+ shared tokens with the benchmark → contaminated
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            # shares only a 7-gram prefix → clean at n=8
+            (2, "the quick brown fox jumps over the sleepy cat tonight"),
+            (3, "completely unrelated text with no overlap at all here now"),
+            (4, "short"),  # fewer than n tokens → no grams, clean
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "question: the quick brown fox jumps over the lazy dog every")],
+        "doc_id long, text string",
+    )
+    return docs, bench
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    docs, bench = _frames(spark)
+    got = {
+        r["doc_id"]: (r["contaminated_ngrams"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=8).collect()
+    }
+    assert got[1][1] and got[1][0] >= 1
+    assert got[2] == (0, False)  # 7-gram overlap is below the n=8 test
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    # every input doc gets a row (left join, no drops)
+    assert set(got) == {1, 2, 3, 4}
+
+
+def test_decontaminate_broadcast_off_same_result(spark):
+    docs, bench = _frames(spark)
+    a = sorted(map(tuple, decontaminate(docs, bench, n=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            decontaminate(
+                docs, bench, n=8, broadcast_benchmark=False
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    docs, bench = _frames(spark)
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
