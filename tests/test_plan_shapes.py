@@ -53,3 +53,26 @@ def test_no_cartesian_or_nested_loop_in_pair_generators(spark, name):
     plan = _plan(E.queries()[name](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_pipeline_equi_joins_only(spark):
+    """The curation pipeline composes only equi-joins (broadcast or
+    shuffle) — no cartesian/nested-loop anywhere in the composition."""
+    from marie_icr_spark.plans.corpus import SAMPLE_RATES, build_corpus
+    from marie_icr_spark.sources.transcripts import transcripts_from_docs
+
+    plan = _plan(
+        build_corpus(
+            transcripts_from_docs(spark, SF_DIR), rates=dict(SAMPLE_RATES)
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_no_cartesian(spark):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["decontaminate"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
