@@ -568,3 +568,95 @@ def encode_wav(n_channels: int, framerate: int, frames: bytes,
         wv.setframerate(framerate)
         wv.writeframes(frames)
     return bio.getvalue()
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _rgb_image(content: bytes):
+    """(height, width, 3) uint8 RGB array from a PPM or decodable PNG;
+    None otherwise (same coverage as :func:`_rgb_pixels`, dims kept)."""
+    import numpy as np
+
+    hdr = parse_ppm_header(content)
+    if hdr is not None:
+        w, h, _mx, off = hdr
+        need = w * h * 3
+        buf = content[off : off + need]
+        if len(buf) < need or need == 0:
+            return None
+        return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        px = decode_png_pixels(content)
+        if px is None or px.size == 0:
+            return None
+        if px.shape[2] >= 3:
+            return px[:, :, :3]
+        import numpy as np
+
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return None
+
+
+def resize_media(
+    df: DataFrame, target_w: int, target_h: int, fail_open: bool = True
+) -> DataFrame:
+    """Nearest-neighbor resize for decodable bitmap assets (PPM / 8-bit
+    PNG), re-encoded as canonical PPM (P6).
+
+    Pinned integer sampling — target pixel (x, y) reads source
+    ``(x·src_w // target_w, y·src_h // target_h)`` — so the resize is
+    bit-deterministic and SQL-replayable (the ``resize_pixel_stats``
+    oracle recomputes the mapped coordinates in DuckDB). The resample is
+    two numpy index gathers inside Arrow-batched mapInPandas; assets whose
+    pixels can't be decoded (compressed codecs without a stdlib path) pass
+    through unchanged with ok=False — the decode_media fail-open contract.
+
+    Output: (asset_id, media_type, ok, width, height, content).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mt, content in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["content"]
+            ):
+                img = (
+                    _rgb_image(bytes(content)) if content is not None else None
+                )
+                if img is None:
+                    if not fail_open:
+                        raise ValueError(f"undecodable asset {aid!r}")
+                    rows.append((aid, mt, False, 0, 0, content))
+                    continue
+                sh, sw = img.shape[:2]
+                xs = (np.arange(target_w, dtype=np.int64) * sw) // target_w
+                ys = (np.arange(target_h, dtype=np.int64) * sh) // target_h
+                resized = img[ys][:, xs]
+                rows.append(
+                    (
+                        aid, mt, True, target_w, target_h,
+                        encode_ppm(target_w, target_h, resized.tobytes()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "media_type", "ok", "width", "height",
+                    "content",
+                ],
+            )
+
+    return df.select("asset_id", "media_type", "content").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )

@@ -3046,3 +3046,85 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 
 EXT_QUERIES["decontaminate"] = q_decontaminate
 EXT_ORACLES["decontaminate"] = ORACLE_DECONTAMINATE
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor resize certified end-to-end: plant the SAME formula PNGs
+# as png_pixel_stats (all 5 filter types), resize 8x4 → 3x2 through the
+# pixel decoder + numpy gather, re-encode as PPM, run pixel stats over the
+# RESIZED asset — and DuckDB recomputes the stats from the pinned integer
+# coordinate mapping (x·sw//tw, y·sh//th) applied to the pixel formula.
+# ---------------------------------------------------------------------------
+
+_RSZ_W, _RSZ_H = 3, 2
+
+
+def q_resize_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from .operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_png,
+        media_pixel_stats,
+        resize_media,
+    )
+
+    npix = _PNG_W * _PNG_H
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pix = bytearray()
+                for i in range(npix):
+                    pix.append((7 * did + 11 * i) % 256)
+                    pix.append((13 * did + 17 * i) % 256)
+                    pix.append((19 * did + 23 * i) % 256)
+                rows.append(
+                    (
+                        str(did),
+                        "image",
+                        encode_png(_PNG_W, _PNG_H, bytes(pix),
+                                   filter_type=did % 5),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "content", "meta"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assets = docs.mapInPandas(enc, ASSET_SCHEMA)
+    resized = resize_media(assets, _RSZ_W, _RSZ_H).select(
+        "asset_id", "media_type", "content",
+        F.lit(None).cast("string").alias("meta"),
+    )
+    stats = media_pixel_stats(resized)
+    return stats.filter(F.col("ok")).select(
+        F.col("asset_id").cast("long").alias("doc_id"),
+        "mean_r", "mean_g", "mean_b", "min_lum", "max_lum",
+    )
+
+
+ORACLE_RESIZE_PIXEL_STATS = f"""
+WITH grid AS (
+  SELECT x.x, y.y,
+         ((y.y * {_PNG_H}) // {_RSZ_H}) * {_PNG_W} + ((x.x * {_PNG_W}) // {_RSZ_W}) AS i
+  FROM (SELECT unnest(range({_RSZ_W})) x) x
+  CROSS JOIN (SELECT unnest(range({_RSZ_H})) y) y),
+px AS (
+  SELECT d.doc_id,
+         (7 * d.doc_id + 11 * g.i) % 256 AS r,
+         (13 * d.doc_id + 17 * g.i) % 256 AS g,
+         (19 * d.doc_id + 23 * g.i) % 256 AS b
+  FROM documents d CROSS JOIN grid g)
+SELECT doc_id,
+       AVG(r) AS mean_r, AVG(g) AS mean_g, AVG(b) AS mean_b,
+       CAST(MIN((299 * r + 587 * g + 114 * b) // 1000) AS INTEGER) AS min_lum,
+       CAST(MAX((299 * r + 587 * g + 114 * b) // 1000) AS INTEGER) AS max_lum
+FROM px GROUP BY doc_id
+"""
+
+EXT_QUERIES["resize_pixel_stats"] = q_resize_pixel_stats
+EXT_ORACLES["resize_pixel_stats"] = ORACLE_RESIZE_PIXEL_STATS

@@ -200,3 +200,80 @@ def test_pixel_stats_png_equals_ppm(spark):
     for k in ("mean_r", "mean_g", "mean_b", "min_lum", "max_lum"):
         assert rows["png-1"][k] == rows["ppm-1"][k]
     assert not rows["jpg-x"]["ok"]
+
+
+# -- nearest-neighbor resize --------------------------------------------------
+
+def test_resize_media_exact_mapping(spark):
+    """Pinned integer sampling: target (x,y) reads source (x·sw//tw, y·sh//th)."""
+    import pandas as pd
+
+    from marie_icr_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_ppm,
+        parse_ppm_header,
+        resize_media,
+    )
+
+    # 4x2 source, distinct pixel values
+    src = bytes(range(4 * 2 * 3))
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "image", encode_ppm(4, 2, src), None)],
+            columns=["asset_id", "media_type", "content", "meta"],
+        ),
+        schema=ASSET_SCHEMA,
+    )
+    row = resize_media(assets, 2, 1).collect()[0]
+    assert (row["ok"], row["width"], row["height"]) == (True, 2, 1)
+    w, h, _mx, off = parse_ppm_header(bytes(row["content"]))
+    assert (w, h) == (2, 1)
+    got = bytes(row["content"])[off:]
+    # y=0 -> sy=0; x=0 -> sx=0, x=1 -> sx=2
+    expect = src[0:3] + src[2 * 3 : 2 * 3 + 3]
+    assert got == expect
+
+
+def test_resize_media_png_input_and_upsample(spark):
+    import pandas as pd
+
+    from marie_icr_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_png,
+        parse_ppm_header,
+        resize_media,
+    )
+
+    # 2x1 PNG: red | blue, upsampled to 4x2 replicates each pixel 2x2
+    pix = bytes([255, 0, 0, 0, 0, 255])
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            [("p", "image", encode_png(2, 1, pix), None)],
+            columns=["asset_id", "media_type", "content", "meta"],
+        ),
+        schema=ASSET_SCHEMA,
+    )
+    row = resize_media(assets, 4, 2).collect()[0]
+    assert row["ok"]
+    _w, _h, _mx, off = parse_ppm_header(bytes(row["content"]))
+    got = bytes(row["content"])[off:]
+    red, blue = pix[0:3], pix[3:6]
+    assert got == (red + red + blue + blue) * 2
+
+
+def test_resize_media_fail_open_passthrough(spark):
+    import pandas as pd
+
+    from marie_icr_spark.operators.multimodal import ASSET_SCHEMA, resize_media
+
+    junk = b"\xff\xd8\xff\xe0 not decodable"
+    assets = spark.createDataFrame(
+        pd.DataFrame(
+            [("j", "image", junk, None)],
+            columns=["asset_id", "media_type", "content", "meta"],
+        ),
+        schema=ASSET_SCHEMA,
+    )
+    row = resize_media(assets, 2, 2).collect()[0]
+    assert not row["ok"]
+    assert bytes(row["content"]) == junk  # untouched, fail-open
