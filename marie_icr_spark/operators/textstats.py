@@ -320,3 +320,51 @@ def decontaminate(
             (c > 0).alias("contaminated"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-window chunking with overlap — the context-window prep stage of
+    a training pipeline (fixed windows over whitespace tokens, stride =
+    ``max_tokens - overlap``; chunk ``i`` covers tokens
+    ``[i·stride, i·stride + max_tokens)``; the last window may be short;
+    an empty/short doc yields exactly one chunk).
+
+    Pure Column algebra: tokenized once, chunk starts come from
+    ``sequence``, the fan-out is ``explode`` — zero shuffles, zero Python.
+    Output: (``id_col``, chunk_idx int, chunk_text string,
+    n_chunk_tokens int).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    # smallest c with c·stride + overlap >= n, floored at 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    chunk = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    return (
+        df.select(F.col(id_col), toks.alias("_t"), chunk)
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(
+                    F.col("_t"), F.col("chunk_idx") * stride + 1, max_tokens
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(
+                    F.col("_t"), F.col("chunk_idx") * stride + 1, max_tokens
+                )
+            ).cast("int").alias("n_chunk_tokens"),
+        )
+    )

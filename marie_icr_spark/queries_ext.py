@@ -3128,3 +3128,43 @@ FROM px GROUP BY doc_id
 
 EXT_QUERIES["resize_pixel_stats"] = q_resize_pixel_stats
 EXT_ORACLES["resize_pixel_stats"] = ORACLE_RESIZE_PIXEL_STATS
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (context-window prep): fixed 64-token windows with
+# 16-token overlap over whitespace tokens; zero-shuffle explode fan-out.
+# DuckDB replays the window arithmetic with range + list slicing.
+# ---------------------------------------------------------------------------
+
+_CHUNK_MAX, _CHUNK_OVERLAP = 64, 16
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
+    )
+
+
+_CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVERLAP
+
+ORACLE_CHUNK_DOCUMENTS = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM documents),
+n AS (SELECT doc_id, w, greatest(
+        CAST(ceil((len(w) - {_CHUNK_OVERLAP}) / {_CHUNK_STRIDE}.0) AS INTEGER),
+        1) n_chunks
+      FROM t),
+c AS (SELECT doc_id, w, unnest(range(n_chunks)) ci FROM n)
+SELECT doc_id,
+       CAST(ci AS INTEGER) AS chunk_idx,
+       array_to_string(
+         w[ci*{_CHUNK_STRIDE}+1 : ci*{_CHUNK_STRIDE}+{_CHUNK_MAX}], ' ')
+         AS chunk_text,
+       CAST(len(w[ci*{_CHUNK_STRIDE}+1 : ci*{_CHUNK_STRIDE}+{_CHUNK_MAX}])
+         AS INTEGER) AS n_chunk_tokens
+FROM c
+"""
+
+EXT_QUERIES["chunk_documents"] = q_chunk_documents
+EXT_ORACLES["chunk_documents"] = ORACLE_CHUNK_DOCUMENTS

@@ -56,3 +56,36 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     docs, bench = _frames(spark)
     plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# -- token-window chunking ----------------------------------------------------
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from marie_icr_spark.operators.textstats import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, max_tokens=4, overlap=2).collect()
+    }
+    # doc 1: 10 tokens, stride 2 -> ceil((10-2)/2)=4 chunks
+    assert got[(1, 0)][0] == "w0 w1 w2 w3"
+    assert got[(1, 1)][0] == "w2 w3 w4 w5"  # 2-token overlap
+    assert got[(1, 3)] == ("w6 w7 w8 w9", 4)
+    assert (1, 4) not in got
+    # short doc: one (short) chunk
+    assert got[(2, 0)] == ("a b", 2)
+    # empty doc: exactly one chunk (DuckDB ws-token twin yields [''])
+    assert got[(3, 0)][1] == 1
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from marie_icr_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
