@@ -3168,3 +3168,66 @@ FROM c
 
 EXT_QUERIES["chunk_documents"] = q_chunk_documents
 EXT_ORACLES["chunk_documents"] = ORACLE_CHUNK_DOCUMENTS
+
+
+# ---------------------------------------------------------------------------
+# Native streaming session windows: events split across micro-batches
+# (maxFilesPerTrigger) so per-key session state must MERGE across batches;
+# the final sessions must equal the batch gaps-and-islands computation.
+# ---------------------------------------------------------------------------
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.pipeline import stream_session_windows
+
+    base = tempfile.mkdtemp(prefix="stream_sess_")
+    inp = f"{base}/in"
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .repartition(6)
+        .write.parquet(inp)
+    )
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    try:
+        q, sink = stream_session_windows(
+            spark, inp, f"{base}/ckpt", gap_minutes=30, available_now=True,
+            max_files_per_trigger=2, sink_name=name,
+        )
+        q.awaitTermination()
+        return spark.table(sink).select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+ORACLE_STREAM_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) session_id
+  FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+EXT_QUERIES["stream_sessionize"] = q_stream_sessionize
+EXT_ORACLES["stream_sessionize"] = ORACLE_STREAM_SESSIONIZE

@@ -263,3 +263,48 @@ def stream_conversation_state(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), name
+
+
+def stream_session_windows(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    sink_name: str = "session_sink",
+):
+    """Native session-window aggregation over an event stream.
+
+    ``F.session_window(ts, gap)`` keeps per-key session state that MERGES
+    across micro-batches — events of one session arriving in different
+    batches coalesce into a single window (the stateful part a batch
+    gaps-and-islands window cannot express incrementally). Event time must
+    be TIMESTAMP (cast TIMESTAMP_NTZ upstream). The watermark is set far
+    out (the bounded availableNow harness must never drop a "late" row —
+    input files are not time-ordered); a production stream would pass a
+    real lateness bound instead. Complete-mode memory sink for the same
+    reason as :func:`stream_kind_counts`. Returns (query, sink_name).
+    """
+    batch = spark.read.parquet(input_dir)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", "3650 days")
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("complete")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink_name

@@ -97,3 +97,44 @@ def test_stream_conversation_state(spark, stream_input, tmp_path_factory):
     assert len(merged) == len(expected)
     for c in ("turns_seen", "spans_total", "max_turn_idx"):
         assert (merged[f"{c}_e"] == merged[f"{c}_s"]).all(), c
+
+
+def test_stream_session_windows_merge_across_batches(spark, tmp_path_factory):
+    """A session whose events arrive in DIFFERENT micro-batches must come
+    out as ONE window (session state merging, not per-batch sessions)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.streaming.pipeline import stream_session_windows
+
+    base = str(tmp_path_factory.mktemp("sess_merge"))
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def rows(*minutes):
+        return [(1, t0 + dt.timedelta(minutes=m)) for m in minutes]
+
+    schema = "user_id long, ts timestamp"
+    # file A: minutes 0, 10; file B: minutes 20, 120 — one session (0..20,
+    # gap 30) split across files, plus a separate later session
+    spark.createDataFrame(rows(0, 10), schema).coalesce(1).write.parquet(
+        f"{base}/in"
+    )
+    spark.createDataFrame(rows(20, 120), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{base}/in")
+
+    q, sink = stream_session_windows(
+        spark, f"{base}/in", f"{base}/ckpt", gap_minutes=30,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    got = sorted(
+        (
+            r["session_window"]["start"].minute
+            + 60 * r["session_window"]["start"].hour,
+            r["n_events"],
+        )
+        for r in spark.table(sink).collect()
+    )
+    assert got == [(0, 3), (120, 1)]
