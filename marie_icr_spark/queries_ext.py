@@ -3231,3 +3231,50 @@ FROM s GROUP BY user_id, session_id
 
 EXT_QUERIES["stream_sessionize"] = q_stream_sessionize
 EXT_ORACLES["stream_sessionize"] = ORACLE_STREAM_SESSIONIZE
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup: the transcript table is delivered TWICE in
+# interleaved files (at-least-once upstream), split over micro-batches;
+# dropDuplicates state must suppress every cross-batch replay so each
+# (conv_id, turn_idx) is emitted exactly once.
+# ---------------------------------------------------------------------------
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.pipeline import stream_dedup_turns
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    inp = f"{base}/in"
+    t = transcripts_from_docs(spark, sf_dir)
+    t.repartition(4).write.parquet(inp)
+    t.repartition(3).write.mode("append").parquet(inp)  # the replay
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    try:
+        q, sink = stream_dedup_turns(
+            spark, inp, f"{base}/ckpt", available_now=True,
+            max_files_per_trigger=2, sink_name=name,
+        )
+        q.awaitTermination()
+        return spark.table(sink).select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+ORACLE_STREAM_DEDUP = (
+    _ORACLE_DERIVE_REF
+    + """
+SELECT conv_id, turn_idx,
+       CASE (doc_id % 4) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+            WHEN 2 THEN 'tool' ELSE 'system' END AS role
+FROM d
+"""
+)
+
+EXT_QUERIES["stream_dedup"] = q_stream_dedup
+EXT_ORACLES["stream_dedup"] = ORACLE_STREAM_DEDUP

@@ -308,3 +308,33 @@ def stream_session_windows(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), sink_name
+
+
+def stream_dedup_turns(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    sink_name: str = "dedup_sink",
+):
+    """Streaming exact dedup on the turn key: each (conv_id, turn_idx) is
+    emitted exactly once no matter how many times — or in how many
+    micro-batches — it arrives (at-least-once upstream delivery → effective
+    exactly-once emission). ``dropDuplicates`` keeps per-key state across
+    batches; a production stream bounds that state with
+    ``dropDuplicatesWithinWatermark`` once keys stop repeating beyond a
+    lateness horizon. Append-mode memory sink. Returns (query, sink_name).
+    """
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    deduped = stream.dropDuplicates(["conv_id", "turn_idx"])
+    writer = (
+        deduped.select("conv_id", "turn_idx", "role")
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink_name
