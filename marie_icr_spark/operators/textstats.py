@@ -368,3 +368,68 @@ def chunk_documents(
             ).cast("int").alias("n_chunk_tokens"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in ``id_col`` order
+    and chunk the global token stream into fixed ``ctx`` windows (docs may
+    straddle a boundary — the concat-then-chunk pretraining layout).
+
+    Returns the assignment table: (pack_id long, ``id_col``, start_tok int —
+    offset INSIDE the doc, n_toks int). A doc spanning k windows emits k
+    rows; pack text materializes downstream by grouping on pack_id and
+    slicing each doc's tokens.
+
+    Scale shape — the global prefix sum is two-phase, never a
+    single-partition window over the corpus: per-range-bucket token sums
+    (one hash agg) roll up to bucket offsets over #buckets ≈ n/bucket_size
+    rows (driver-size, like the IVF centroid row), broadcast back, and each
+    bucket computes its local cumsum independently.
+    """
+    n = F.size(ws_tokens(F.col(text_col)))  # >= 1 even for empty text
+    sized = df.select(
+        F.col(id_col), (F.col(id_col) / bucket_size).cast("long").alias("_b"),
+        n.alias("_n"),
+    )
+    btot = sized.groupBy("_b").agg(F.sum("_n").alias("_bn"))
+    from pyspark.sql.window import Window
+
+    # offsets table is tiny (#buckets rows) — the single-partition window
+    # here is over metadata, not data
+    woff = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = btot.select(
+        "_b", (F.sum("_bn").over(woff) - F.col("_bn")).alias("_off")
+    )
+    win = Window.partitionBy("_b").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = (
+        sized.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "_before", F.col("_off") + F.sum("_n").over(win) - F.col("_n")
+        )
+    )
+    p0 = F.floor(F.col("_before") / ctx)
+    p1 = F.floor((F.col("_before") + F.col("_n") - 1) / ctx)
+    packed = placed.select(
+        id_col, "_before", "_n",
+        F.explode(F.sequence(p0, p1)).alias("pack_id"),
+    )
+    start = F.greatest(F.col("pack_id") * ctx - F.col("_before"), F.lit(0))
+    end = F.least(
+        (F.col("pack_id") + 1) * ctx - F.col("_before"), F.col("_n")
+    )
+    return packed.select(
+        F.col("pack_id").cast("long").alias("pack_id"),
+        id_col,
+        start.cast("int").alias("start_tok"),
+        (end - start).cast("int").alias("n_toks"),
+    )

@@ -3278,3 +3278,46 @@ FROM d
 
 EXT_QUERIES["stream_dedup"] = q_stream_dedup
 EXT_ORACLES["stream_dedup"] = ORACLE_STREAM_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# GPT-style sequence packing (concat docs in id order, chunk the global
+# token stream into fixed ctx windows). The Spark side computes the global
+# prefix sum in two phases (bucket sums -> broadcast offsets); DuckDB does
+# it with one global window — identical placement.
+# ---------------------------------------------------------------------------
+
+_PACK_CTX = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), ctx=_PACK_CTX)
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (SELECT doc_id,
+                  len({_TOKENS_SQL.format(e='text')}) n
+           FROM documents),
+cum AS (SELECT doc_id, n,
+               SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                 AS before
+        FROM t),
+p AS (SELECT doc_id, n, before,
+             unnest(range(CAST(before // {_PACK_CTX} AS BIGINT),
+                          CAST((before + n - 1) // {_PACK_CTX} + 1 AS BIGINT)))
+               pack_id
+      FROM cum)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       doc_id,
+       CAST(greatest(pack_id * {_PACK_CTX} - before, 0) AS INTEGER)
+         AS start_tok,
+       CAST(least((pack_id + 1) * {_PACK_CTX} - before, n)
+            - greatest(pack_id * {_PACK_CTX} - before, 0) AS INTEGER)
+         AS n_toks
+FROM p
+"""
+
+EXT_QUERIES["pack_sequences"] = q_pack_sequences
+EXT_ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES

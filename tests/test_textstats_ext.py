@@ -89,3 +89,39 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+# -- sequence packing ---------------------------------------------------------
+
+def test_pack_sequences_straddles_and_covers(spark):
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.operators.textstats import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a"] * 5)),   # before=0,  n=5  -> pack 0
+            (2, " ".join(["b"] * 6)),   # before=5,  n=6  -> packs 0,1 (3+3)
+            (3, " ".join(["c"] * 2)),   # before=11, n=2  -> pack 1
+            (4, ""),                    # before=13, n=1  -> pack 1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["pack_id"], r["doc_id"]): (r["start_tok"], r["n_toks"])
+        for r in pack_sequences(docs, ctx=8, bucket_size=2).collect()
+    }
+    assert rows == {
+        (0, 1): (0, 5),
+        (0, 2): (0, 3),   # first 3 tokens of doc 2 finish pack 0
+        (1, 2): (3, 3),   # remaining 3 straddle into pack 1
+        (1, 3): (0, 2),
+        (1, 4): (0, 1),
+    }
+    # conservation: every doc's tokens are fully assigned exactly once
+    tot = (
+        pack_sequences(docs, ctx=8, bucket_size=2)
+        .groupBy("doc_id").agg(F.sum("n_toks").alias("s"))
+        .collect()
+    )
+    assert {r["doc_id"]: r["s"] for r in tot} == {1: 5, 2: 6, 3: 2, 4: 1}
