@@ -560,3 +560,42 @@ def test_compact_aborts_if_merged_key_replaced_concurrently(
     _verify_manifest_vs_data(spark, out)
     orphans = [p for p in M.vacuum(out) if "compact-" in p]
     assert len(orphans) == 1
+
+
+def test_commit_table_generic_schema_and_compact(spark, tmp_path_factory):
+    """commit_table records its certification columns in the manifest's
+    stats block; compact() recomputes the SAME certification for a
+    non-extraction schema."""
+    out = str(tmp_path_factory.mktemp("generic_tbl"))
+    df = spark.createDataFrame(
+        [(f"k{i}", f"text {i}", i % 5) for i in range(40)],
+        "key string, body string, score int",
+    )
+    m = M.commit_table(
+        df, out, key_col="key", n_buckets=4,
+        hash_cols=("key", "body"), sum_col="score",
+    )
+    assert m["stats"] == {"hash_cols": ["key", "body"], "sum_col": "score"}
+    got = M.read_results(spark, out)
+    assert got.count() == 40
+    assert sum(e["span_count"] for e in m["buckets"].values()) == sum(
+        i % 5 for i in range(40)
+    )
+    # mixed-certification commits are refused
+    with pytest.raises(M.CommitConflict):
+        M.commit_table(df, out, key_col="key", n_buckets=4,
+                       hash_cols=("key",))
+    # full-snapshot replace: second commit supersedes, old version readable
+    M.commit_table(
+        df.filter("score > 0"), out, key_col="key", n_buckets=4,
+        hash_cols=("key", "body"), sum_col="score",
+    )
+    assert M.read_results(spark, out).count() == 32
+    assert M.read_results(spark, out, version=1).count() == 40
+    # compact with the recorded stats columns; reader unchanged
+    m3 = M.compact(spark, out)
+    assert m3["stats"] == {"hash_cols": ["key", "body"], "sum_col": "score"}
+    assert M.read_results(spark, out).count() == 32
+    # superseded run dirs reclaimed
+    assert len([p for p in M.vacuum(out) if "data" in p]) >= 1
+    assert M.read_results(spark, out).count() == 32
