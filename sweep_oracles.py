@@ -44,11 +44,19 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
+    import os
+
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", str(args.cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # one JVM hosts all ~66 queries back-to-back: without real driver
+        # heap the accumulated state (persisted frames, streaming memory
+        # sinks) OOMs the sweep mid-run at sf0.1
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g")
+        )
         .getOrCreate()
     )
     import __spark_entry__ as E
@@ -78,6 +86,17 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report and continue
             failures.append(name)
             print(f"{name:28s} ERROR    {str(e)[:120]}", flush=True)
+        finally:
+            # queries share one session: drop what each leaves behind
+            # (persisted frames, streaming memory-sink tables) so the sweep
+            # measures the queries, not their accumulation
+            try:
+                spark.catalog.clearCache()
+                for tbl in spark.catalog.listTables():
+                    if tbl.isTemporary:
+                        spark.catalog.dropTempView(tbl.name)
+            except Exception:  # noqa: BLE001 — cleanup is best-effort
+                pass
     print(f"\n{len(names) - len(failures)}/{len(names)} green at {args.sf_dir}")
     if failures:
         print("FAILURES:", failures)
