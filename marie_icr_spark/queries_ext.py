@@ -2921,7 +2921,14 @@ from .plans import corpus as _CP  # noqa: E402
 
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_docs(spark, sf_dir)
-    return _CP.build_corpus(t, rates=dict(_CP.SAMPLE_RATES))
+    out = _CP.build_corpus(t, rates=dict(_CP.SAMPLE_RATES))
+    # oracle-harness hygiene: the pipeline persists its curated frame and
+    # pair edges (see build_corpus); materialize the (small, sampled)
+    # result, then free the cached blocks so a shared-session runner
+    # doesn't accumulate them across queries
+    pdf = out.toPandas()
+    spark.catalog.clearCache()
+    return spark.createDataFrame(pdf, schema=out.schema)
 
 
 def _corpus_pipeline_oracle_sql() -> str:
