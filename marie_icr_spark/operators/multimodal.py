@@ -535,27 +535,10 @@ def encode_png(width: int, height: int, pixels: bytes,
 
 
 def _rgb_pixels(content: bytes):
-    """(n, 3) uint8 RGB matrix from a PPM or decodable PNG; None otherwise."""
-    import numpy as np
-
-    hdr = parse_ppm_header(content)
-    if hdr is not None:
-        w, h, _mx, off = hdr
-        need = w * h * 3
-        buf = content[off : off + need]
-        if len(buf) < need or need == 0:
-            return None
-        return np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3)
-    if content[: len(_PNG_SIG)] == _PNG_SIG:
-        px = decode_png_pixels(content)
-        if px is None or px.size == 0:
-            return None
-        c = px.shape[2]
-        flat = px.reshape(-1, c)
-        if c >= 3:
-            return flat[:, :3]  # drop alpha
-        return np.repeat(flat[:, :1], 3, axis=1)  # gray → replicated RGB
-    return None
+    """(n, 3) uint8 RGB matrix from a PPM or decodable PNG; None otherwise
+    (flattened view of :func:`_rgb_image` — one decode/normalize policy)."""
+    img = _rgb_image(content)
+    return None if img is None else img.reshape(-1, 3)
 
 
 def encode_wav(n_channels: int, framerate: int, frames: bytes,

@@ -39,12 +39,16 @@ def build_corpus(
     default_rate: float = SAMPLE_DEFAULT_RATE,
     sample_salt: str = SAMPLE_SALT,
     mode: str = "sparse",
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """Transcripts → curated conversation corpus.
 
     Output: (conv_id, conversation_text, turn_count, n_tokens, quality,
     pred_lang). ``jaccard_threshold=None`` skips the near-dup stage;
     ``rates=None`` skips sampling (rates are per ``pred_lang``).
+    ``persist_handles``: pass a list to receive the frames this pipeline
+    persists (see below) — the caller can ``unpersist()`` exactly those
+    after materializing the result, without touching other session cache.
     """
     from ..functions.columns import portable_hash31
     from ..operators.assembly import assemble_conversations
@@ -76,6 +80,8 @@ def build_corpus(
     from pyspark import StorageLevel
 
     convs = convs.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_handles is not None:
+        persist_handles.append(convs)
 
     # exact dedup: smallest conv_id survives per identical text (grouping on
     # the md5, not the full string — the shuffle key stays 32 bytes)
@@ -102,6 +108,8 @@ def build_corpus(
         pairs = jaccard_pairs(
             ids, jaccard_threshold, id_col="cid", text_col="conversation_text"
         ).persist(StorageLevel.MEMORY_AND_DISK)  # reused every CC round
+        if persist_handles is not None:
+            persist_handles.append(pairs)
         losers = (
             connected_components(pairs)
             .filter(F.col("component") < F.col("vertex"))

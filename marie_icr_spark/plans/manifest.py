@@ -20,9 +20,12 @@ hadoop catalog does it, with no extra jars:
   never a mix. A crash at ANY point before the rename leaves CURRENT (and
   every data file it references) untouched.
 
-Concurrent writers are handled optimistically: ``open(manifest-vN, "x")``
-loses to an existing vN (another writer committed first) → reload + retry,
-the same compare-and-swap Iceberg does on its version file.
+Concurrent writers are handled optimistically: ``link(2)``-ing the
+complete version file into ``manifest-vN`` loses to an existing vN
+(another writer committed first) → reload + retry, the same
+compare-and-swap Iceberg does on its version file; a writer that dies
+before renaming CURRENT is rolled forward by the next writer
+(:func:`_publish_pending`) — version files are complete by construction.
 
 Resume = buckets absent from CURRENT (or committed under a different source
 snapshot) are re-extracted into a new run dir; a crashed run's orphan dir is
@@ -113,11 +116,33 @@ def _swap_current(output_dir: str, version: int) -> None:
     os.rename(tmp, os.path.join(cdir, _CURRENT))
 
 
+def _publish_pending(output_dir: str) -> int:
+    """Roll CURRENT forward over fully-written but unpublished manifests.
+
+    A writer that dies between linking ``manifest-v<N>`` into place and
+    renaming CURRENT leaves a complete, fsynced version file that no
+    pointer references — without recovery every later CAS would collide
+    with it forever (write-wedged catalog). Version files are complete by
+    construction (written to a temp name, fsynced, then ``link(2)``-ed in),
+    so publishing them is always safe; racing with the original writer's
+    own rename is idempotent (same value). Writers call this on entry and
+    on CAS conflict; readers never write. Returns the version published.
+    """
+    v = current_version(output_dir)
+    while os.path.exists(_manifest_path(output_dir, v + 1)):
+        _swap_current(output_dir, v + 1)
+        v += 1
+    return v
+
+
 def _commit_manifest(output_dir: str, base: dict, updates: dict) -> dict:
     """Compare-and-swap one manifest version on top of ``base``.
 
     Raises :class:`CommitConflict` if another writer claimed the version
-    first (caller reloads CURRENT and retries on fresh state).
+    first (caller reloads CURRENT and retries on fresh state). The version
+    file is written complete + fsynced under a temp name and ``link(2)``-ed
+    into place, so an existing ``manifest-v<N>`` is ALWAYS complete — which
+    is what makes :func:`_publish_pending`'s roll-forward safe.
     """
     os.makedirs(_commit_dir(output_dir), exist_ok=True)
     new_version = int(base.get("version", 0)) + 1
@@ -125,17 +150,21 @@ def _commit_manifest(output_dir: str, base: dict, updates: dict) -> dict:
         "version": new_version,
         "buckets": {**base.get("buckets", {}), **updates},
     }
-    if base.get("stats"):
-        manifest["stats"] = base["stats"]
+    for extra in ("stats", "schema"):
+        if base.get(extra):
+            manifest[extra] = base[extra]
     path = _manifest_path(output_dir, new_version)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    _fsync_write(tmp, json.dumps(manifest, sort_keys=True))
     try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        os.link(tmp, path)  # atomic exclusive publish of a COMPLETE file
     except FileExistsError as e:
+        os.remove(tmp)
+        # unwedge a dead writer's orphan before surfacing the conflict, so
+        # the caller's reload sees the published version and can retry
+        _publish_pending(output_dir)
         raise CommitConflict(f"manifest v{new_version} already exists") from e
-    with os.fdopen(fd, "w", encoding="utf-8") as f:
-        f.write(json.dumps(manifest, sort_keys=True))
-        f.flush()
-        os.fsync(f.fileno())
+    os.remove(tmp)
     _swap_current(output_dir, new_version)
     return manifest
 
@@ -145,6 +174,20 @@ def _commit_manifest(output_dir: str, base: dict, updates: dict) -> dict:
 
 def _run_dir(output_dir: str, run_id: str) -> str:
     return os.path.join(output_dir, "data", run_id)
+
+
+def _empty_frame(spark: SparkSession, manifest: dict) -> DataFrame:
+    """Empty frame in the TABLE's schema: generic tables record their
+    schema in the manifest (:func:`commit_table`), extraction tables fall
+    back to the transcript-results schema — so the no-rows path and the
+    some-rows path of a reader always agree on columns."""
+    if manifest.get("schema"):
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(manifest["schema"])
+        )
+    return _empty_results_frame(spark)
 
 
 def read_results(
@@ -171,7 +214,7 @@ def read_results(
         for rid, bs in sorted(by_run.items())
     ]
     if not frames:
-        return _empty_results_frame(spark)
+        return _empty_frame(spark, m)
     out = frames[0]
     for f in frames[1:]:
         # schema evolution across runs: a run written before a column was
@@ -246,7 +289,7 @@ def read_incremental(
         for rid, bs in sorted(by_run.items())
     ]
     if not frames:
-        return _empty_results_frame(spark)
+        return _empty_frame(spark, new)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
@@ -331,6 +374,7 @@ def compact(
     get ``compacted:v<N>`` — a later batch run over those buckets falls
     back to conservative re-extraction, never silent reuse.
     """
+    _publish_pending(output_dir)
     m = load_manifest(output_dir)
     sel = None if buckets is None else set(buckets)
 
@@ -403,6 +447,7 @@ def compact(
         "version": m["version"],
         "buckets": {k: e for k, e in m["buckets"].items() if k not in merged},
         "stats": m.get("stats"),
+        "schema": m.get("schema"),
     }
     while True:
         try:
@@ -425,6 +470,7 @@ def compact(
                     if k not in merged
                 },
                 "stats": fresh.get("stats"),
+                "schema": fresh.get("schema"),
             }
 
 
@@ -490,7 +536,16 @@ def run_extraction_job_atomic(
     run_id = run_id or uuid.uuid4().hex
     snapshot = source_fingerprint(transcripts)
 
+    _publish_pending(output_dir)  # recover a dead writer's unpublished swap
     manifest = load_manifest(output_dir)
+    if any("/" in k for k in manifest["buckets"]):
+        # epoch-scoped streaming keys and plain batch keys for the same
+        # buckets would BOTH stay visible (read_results unions all keys) —
+        # every row would surface twice. Refuse the ill-defined mix.
+        raise ValueError(
+            "catalog contains streaming epoch-scoped commits; run "
+            "compact() first to collapse it to a plain bucket layout"
+        )
     done = {
         int(b)
         for b, e in manifest["buckets"].items()
@@ -606,6 +661,7 @@ def commit_stream_batch(
     spark = batch_df.sparkSession
     if batch_df.isEmpty():
         return None
+    _publish_pending(output_dir)
     run_id = f"epoch{epoch}-{uuid.uuid4().hex[:8]}"
     bucketed = batch_df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
@@ -674,6 +730,8 @@ def commit_table(
     plain bucket keys supersede the old (full-snapshot-replace semantics —
     use the extraction jobs for incremental bucket-level resume).
     """
+    import json as _json
+
     spark = df.sparkSession
     hc = [str(c) for c in (hash_cols or (key_col,))]
     run_id = uuid.uuid4().hex
@@ -684,29 +742,42 @@ def commit_table(
     bucketed.write.mode("errorifexists").partitionBy("bucket").parquet(rdir)
     written = spark.read.option("basePath", rdir).parquet(rdir)
     snap = snapshot or f"table:{run_id[:8]}"
-    updates = {
-        str(int(r["bucket"])): {
-            "run_id": run_id,
+    by_bucket = {int(r["bucket"]): r for r in _bucket_stats(written, hc, sum_col)}
+    # every bucket gets an entry — run_id=None tombstones buckets empty in
+    # THIS snapshot, so a re-commit truly replaces (no stale rows from a
+    # previous snapshot, whatever its n_buckets or key form was: the base
+    # below carries no prior keys)
+    updates = {}
+    for b in range(n_buckets):
+        r = by_bucket.get(b)
+        updates[str(b)] = {
+            "run_id": run_id if r is not None else None,
             "snapshot": snap,
-            "partition_hash": r["partition_hash"],
-            "turn_count": int(r["turn_count"]),
-            "span_count": int(r["span_count"] or 0),
+            "partition_hash": r["partition_hash"] if r is not None else "0",
+            "turn_count": int(r["turn_count"]) if r is not None else 0,
+            "span_count": int(r["span_count"] or 0) if r is not None else 0,
         }
-        for r in _bucket_stats(written, hc, sum_col)
-    }
+    want_stats = {"hash_cols": hc, "sum_col": sum_col}
     while True:
+        _publish_pending(output_dir)
         m = load_manifest(output_dir)
-        if m.get("stats") not in (None, {"hash_cols": hc, "sum_col": sum_col}):
+        # absent stats on a non-empty manifest means the entries were
+        # certified with the extraction defaults — treat that as an
+        # explicit (and incompatible, unless equal) choice, not a blank
+        effective = m.get("stats") or (DEFAULT_STATS if m["buckets"] else None)
+        if effective is not None and effective != want_stats:
             raise CommitConflict(
-                f"table at {output_dir} was committed with different stats "
-                f"columns ({m['stats']}); refusing to mix certifications"
+                f"table at {output_dir} is certified with stats columns "
+                f"{effective}; refusing to mix certifications (vacuum/"
+                "recreate the table to change them)"
             )
         base = {
             "version": m["version"],
-            "buckets": m["buckets"],
-            "stats": {"hash_cols": hc, "sum_col": sum_col},
+            "buckets": {},  # full-snapshot replace
+            "stats": want_stats,
+            "schema": _json.loads(bucketed.schema.json()),
         }
         try:
             return _commit_manifest(output_dir, base, updates)
         except CommitConflict:
-            continue
+            continue  # racing writer published; re-validate on fresh state

@@ -2655,14 +2655,13 @@ EXT_ORACLES["atomic_commit_roundtrip"] = ORACLE_ATOMIC_COMMIT_ROUNDTRIP
 _PNG_W, _PNG_H = 8, 4
 
 
-def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _formula_png_assets(spark: SparkSession, sf_dir: str):
+    """Planted PNG assets whose pixels follow the pinned per-(doc, index)
+    formula both pixel oracles replay in SQL; filter type cycles over all
+    five spec filters so the unfilter path is fully exercised."""
     import pandas as pd
 
-    from .operators.multimodal import (
-        ASSET_SCHEMA,
-        encode_png,
-        media_pixel_stats,
-    )
+    from .operators.multimodal import ASSET_SCHEMA, encode_png
 
     npix = _PNG_W * _PNG_H
 
@@ -2690,8 +2689,13 @@ def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    assets = docs.mapInPandas(enc, ASSET_SCHEMA)
-    stats = media_pixel_stats(assets)
+    return docs.mapInPandas(enc, ASSET_SCHEMA)
+
+
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_pixel_stats
+
+    stats = media_pixel_stats(_formula_png_assets(spark, sf_dir))
     return stats.filter(F.col("ok")).select(
         F.col("asset_id").cast("long").alias("doc_id"),
         "mean_r", "mean_g", "mean_b", "min_lum", "max_lum",
@@ -2921,13 +2925,16 @@ from .plans import corpus as _CP  # noqa: E402
 
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_docs(spark, sf_dir)
-    out = _CP.build_corpus(t, rates=dict(_CP.SAMPLE_RATES))
-    # oracle-harness hygiene: the pipeline persists its curated frame and
-    # pair edges (see build_corpus); materialize the (small, sampled)
-    # result, then free the cached blocks so a shared-session runner
-    # doesn't accumulate them across queries
+    handles: list = []
+    out = _CP.build_corpus(
+        t, rates=dict(_CP.SAMPLE_RATES), persist_handles=handles
+    )
+    # oracle-harness hygiene: materialize the (small, sampled) result, then
+    # free exactly the blocks THIS pipeline persisted — a shared-session
+    # runner must neither accumulate them nor lose unrelated cached frames
     pdf = out.toPandas()
-    spark.catalog.clearCache()
+    for h in handles:
+        h.unpersist()
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
@@ -3067,43 +3074,11 @@ _RSZ_W, _RSZ_H = 3, 2
 
 
 def q_resize_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    from .operators.multimodal import media_pixel_stats, resize_media
 
-    from .operators.multimodal import (
-        ASSET_SCHEMA,
-        encode_png,
-        media_pixel_stats,
-        resize_media,
-    )
-
-    npix = _PNG_W * _PNG_H
-
-    def enc(batches):
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                pix = bytearray()
-                for i in range(npix):
-                    pix.append((7 * did + 11 * i) % 256)
-                    pix.append((13 * did + 17 * i) % 256)
-                    pix.append((19 * did + 23 * i) % 256)
-                rows.append(
-                    (
-                        str(did),
-                        "image",
-                        encode_png(_PNG_W, _PNG_H, bytes(pix),
-                                   filter_type=did % 5),
-                        None,
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=["asset_id", "media_type", "content", "meta"]
-            )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    assets = docs.mapInPandas(enc, ASSET_SCHEMA)
-    resized = resize_media(assets, _RSZ_W, _RSZ_H).select(
+    resized = resize_media(
+        _formula_png_assets(spark, sf_dir), _RSZ_W, _RSZ_H
+    ).select(
         "asset_id", "media_type", "content",
         F.lit(None).cast("string").alias("meta"),
     )
@@ -3278,7 +3253,7 @@ ORACLE_STREAM_DEDUP = (
     + """
 SELECT conv_id, turn_idx,
        CASE (doc_id % 4) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
-            WHEN 2 THEN 'tool' ELSE 'system' END AS role
+            WHEN 2 THEN 'tool' ELSE 'system' END AS "role"
 FROM d
 """
 )

@@ -599,3 +599,98 @@ def test_commit_table_generic_schema_and_compact(spark, tmp_path_factory):
     # superseded run dirs reclaimed
     assert len([p for p in M.vacuum(out) if "data" in p]) >= 1
     assert M.read_results(spark, out).count() == 32
+
+
+# -- review-hardening: crash recovery, tombstones, mixing guards --------------
+
+def test_dead_writer_orphan_manifest_rolls_forward(spark, sdf, tmp_path_factory):
+    """A writer that dies AFTER linking manifest-v<N+1> but BEFORE renaming
+    CURRENT must not wedge the catalog: the next writer publishes the
+    orphan and proceeds."""
+    import json as _json
+
+    out = str(tmp_path_factory.mktemp("orphan_manifest"))
+    M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4,
+                                buckets_per_commit=4)
+    v1 = M.current_version(out)
+    n1 = M.read_results(spark, out).count()
+
+    # simulate the dead writer: a COMPLETE v2 manifest exists, CURRENT
+    # still points at v1 (same content as v1 → publishing changes nothing
+    # visible, which is exactly the idempotent-roll-forward contract)
+    m = M.load_manifest(out)
+    orphan = {"version": v1 + 1, "buckets": m["buckets"]}
+    with open(M._manifest_path(out, v1 + 1), "w") as f:
+        f.write(_json.dumps(orphan, sort_keys=True))
+    assert M.current_version(out) == v1  # wedged state
+
+    # any writer entry unwedges: resume run publishes v2 then no-ops
+    summary = M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4,
+                                          buckets_per_commit=4)
+    assert summary["buckets_processed"] == []
+    assert M.current_version(out) == v1 + 1
+    assert M.read_results(spark, out).count() == n1
+
+
+def test_commit_table_recommit_tombstones_empty_buckets(spark, tmp_path_factory):
+    """Full-snapshot replace: buckets with no rows in the NEW snapshot must
+    not leak the previous snapshot's rows."""
+    out = str(tmp_path_factory.mktemp("tombstone"))
+    a = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(64)], "key string, v int"
+    )
+    M.commit_table(a, out, key_col="key", n_buckets=8)
+    assert M.read_results(spark, out).count() == 64
+    # second snapshot: a single row → 7 of 8 buckets empty
+    b = spark.createDataFrame([("k0", 0)], "key string, v int")
+    m = M.commit_table(b, out, key_col="key", n_buckets=8)
+    assert M.read_results(spark, out).count() == 1
+    assert sum(1 for e in m["buckets"].values() if e["run_id"] is None) == 7
+    # previous snapshot still time-travelable; old run vacuumable after
+    assert M.read_results(spark, out, version=1).count() == 64
+    M.vacuum(out)
+    assert M.read_results(spark, out).count() == 1
+
+
+def test_batch_job_refuses_epoch_scoped_catalog(spark, sdf, tmp_path_factory):
+    """run_extraction_job_atomic over a streaming-sink catalog would double
+    every row (plain keys next to live epoch keys) — must refuse."""
+    from marie_icr_spark.operators.extraction import extract_turns
+
+    out = str(tmp_path_factory.mktemp("mixed_keys"))
+    M.commit_stream_batch(extract_turns(sdf), 0, out, n_buckets=N_BUCKETS)
+    with pytest.raises(ValueError, match="compact"):
+        M.run_extraction_job_atomic(spark, sdf, out, n_buckets=N_BUCKETS)
+    # after compaction the batch job is legal again (resume semantics)
+    M.compact(spark, out)
+    M.run_extraction_job_atomic(spark, sdf, out, n_buckets=N_BUCKETS)
+    _verify_manifest_vs_data(spark, out)
+
+
+def test_commit_table_refuses_default_certified_catalog(
+    spark, sdf, tmp_path_factory
+):
+    """Absent stats on a non-empty manifest = extraction-default
+    certification; committing different stats columns must refuse instead
+    of silently re-labelling old entries."""
+    out = str(tmp_path_factory.mktemp("stats_guard"))
+    M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4,
+                                buckets_per_commit=4)
+    g = spark.createDataFrame([("x", 1)], "conv_id string, v int")
+    with pytest.raises(M.CommitConflict, match="certified"):
+        M.commit_table(g, out, key_col="conv_id", hash_cols=("conv_id",))
+
+
+def test_generic_catalog_empty_reads_keep_schema(spark, tmp_path_factory):
+    """The no-delta incremental read (and any empty read) of a generic
+    table must have the TABLE's schema, not the extraction fallback."""
+    out = str(tmp_path_factory.mktemp("empty_schema"))
+    df = spark.createDataFrame(
+        [("a", "hello", 0.5)], "key string, body string, score double"
+    )
+    M.commit_table(df, out, key_col="key", n_buckets=2)
+    v = M.current_version(out)
+    inc = M.read_incremental(spark, out, v)  # no delta
+    assert inc.count() == 0
+    assert "body" in inc.columns and "score" in inc.columns
+    inc.select("body")  # must not raise AnalysisException
