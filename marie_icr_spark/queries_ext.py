@@ -3303,3 +3303,42 @@ FROM p
 
 EXT_QUERIES["pack_sequences"] = q_pack_sequences
 EXT_ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES
+
+
+# ---------------------------------------------------------------------------
+# Corpus length profile: exact token-length histogram (32-token bins) with
+# per-bin totals — the dataset profiling readout a curation run reports.
+# Pure integer bucketing, one hash agg; DuckDB replays it verbatim.
+# ---------------------------------------------------------------------------
+
+_HIST_BIN = 32
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.columns import ws_tokens
+
+    n = F.size(ws_tokens(F.col("text")))
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.floor(n / _HIST_BIN).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(n).cast("long").alias("total_tokens"),
+            F.min(n).cast("int").alias("min_tokens"),
+            F.max(n).cast("int").alias("max_tokens"),
+        )
+    )
+
+
+ORACLE_LENGTH_HISTOGRAM = f"""
+WITH t AS (SELECT len({_TOKENS_SQL.format(e='text')}) n FROM documents)
+SELECT CAST(n // {_HIST_BIN} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(MIN(n) AS INTEGER) AS min_tokens,
+       CAST(MAX(n) AS INTEGER) AS max_tokens
+FROM t GROUP BY 1
+"""
+
+EXT_QUERIES["length_histogram"] = q_length_histogram
+EXT_ORACLES["length_histogram"] = ORACLE_LENGTH_HISTOGRAM
