@@ -75,6 +75,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     max_shingle_df: int | None = MAX_SHINGLE_DF,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle inverted index.
 
@@ -88,9 +89,22 @@ def jaccard_pairs(
     Pass ``max_shingle_df=None`` for the uncapped exact semantics (safe only
     when no shingle is near-universal; at corpus scale keep the cap).
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 6.
+
+    ``persist_handles``: the exploded index is referenced by several plan
+    branches (DF-cap agg, sizes, both sides of the intersection self-join),
+    and building shingles is the expensive part (per-element Catalyst array
+    ops over every token) — so each branch re-paying it multiplies the cost
+    ~5×. Pass a list to persist the index once (MEMORY_AND_DISK; the
+    handle is appended for the caller to unpersist). Long-text inputs (the
+    corpus pipeline) need this; short-document oracles run fine without.
     """
     sets_ = shingle_sets(df, id_col, text_col, n)
     inv_all = sets_.select("did", F.explode("sh").alias("s"))
+    if persist_handles is not None:
+        from pyspark import StorageLevel
+
+        inv_all = inv_all.persist(StorageLevel.MEMORY_AND_DISK)
+        persist_handles.append(inv_all)
     if max_shingle_df is None:
         inv = inv_all
     else:

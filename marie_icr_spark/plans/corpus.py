@@ -82,6 +82,13 @@ def build_corpus(
     convs = convs.persist(StorageLevel.MEMORY_AND_DISK)
     if persist_handles is not None:
         persist_handles.append(convs)
+    # persist() is lazy: the dedup stages below branch over this frame
+    # several times WITHIN one job (group-agg + join sides, the shingle
+    # index's self-join), and cache blocks only serve tasks that start
+    # after they materialize — so without forcing, the first job recomputes
+    # the whole extract→assemble upstream once per branch (measured 119s →
+    # ~20s at sf0.1). One count() materializes the cache up front.
+    convs.count()
 
     # exact dedup: smallest conv_id survives per identical text (grouping on
     # the md5, not the full string — the shuffle key stays 32 bytes)
@@ -105,11 +112,19 @@ def build_corpus(
         # cross-engine portable hash keeps the min-label choice (and any
         # 31-bit collision) identical in the oracle replay
         ids = convs.withColumn("cid", portable_hash31(F.col("conv_id")))
+        own_handles: list = []
         pairs = jaccard_pairs(
-            ids, jaccard_threshold, id_col="cid", text_col="conversation_text"
+            ids,
+            jaccard_threshold,
+            id_col="cid",
+            text_col="conversation_text",
+            # conversation texts are LONG: shingle construction dominates,
+            # so the inverted index must be built once, not once per branch
+            persist_handles=own_handles,
         ).persist(StorageLevel.MEMORY_AND_DISK)  # reused every CC round
+        own_handles.append(pairs)
         if persist_handles is not None:
-            persist_handles.append(pairs)
+            persist_handles.extend(own_handles)
         losers = (
             connected_components(pairs)
             .filter(F.col("component") < F.col("vertex"))

@@ -247,6 +247,13 @@ def read_incremental(
     when the merged content hash is unchanged (plain-key entry whose hash
     equals the XOR of the prior epoch entries for that bucket), so consumers
     don't reprocess compacted-but-identical data.
+
+    Scope: this is an APPEND/REPLACE change feed — rows of added or
+    re-extracted commit units. Deletions (buckets tombstoned by a
+    full-snapshot :func:`commit_table` replace) emit nothing here; a
+    consumer that must react to deletes diffs the manifests directly
+    (``load_manifest(v_old)`` vs ``load_manifest(v_new)`` keys whose
+    ``run_id`` went to None).
     """
     old = load_manifest(output_dir, from_version)
     new = load_manifest(
