@@ -53,3 +53,33 @@ def test_long_chain_converges(spark):
     out = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
     assert set(out.values()) == {0}
     assert len(out) == n + 1
+
+
+def test_shingle_twin_equivalence(spark):
+    """The pandas-UDF shingle path must match the Column form
+    (shingles(ws_tokens(col))) byte-for-byte — incl. Spark trim (spaces
+    only), Java \\s collapse, empty/short texts, and distinct order."""
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.functions.columns import shingles, ws_tokens
+    from marie_icr_spark.operators.dedup import shingle_sets
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "  leading and trailing  "),
+        (3, "tab\tand\nnewline\fand\rcr collapse  runs"),
+        (4, "dup a dup a dup a dup a"),          # repeated shingles
+        (5, ""),                                  # empty
+        (6, "one two"),                           # shorter than n
+        (7, "\tstarts with java-ws not space"),   # trim is SPACE-only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {r["did"]: r["sh"] for r in shingle_sets(df).collect()}
+    slow = {
+        r["did"]: r["sh"]
+        for r in df.select(
+            F.col("doc_id").alias("did"),
+            shingles(ws_tokens(F.col("text")), 3).alias("sh"),
+        ).collect()
+    }
+    assert fast == slow
