@@ -78,6 +78,19 @@ def _py_shingle_list(text: str | None, n: int) -> list[str]:
     ))
 
 
+def shingle_array_udf(n: int):
+    """Arrow-batched ``pandas_udf`` computing the distinct n-gram shingle
+    array of a text column (the fast twin of ``shingles(ws_tokens(c), n)``;
+    see :func:`_py_shingle_list` for the pinned equivalence)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda x: _py_shingle_list(x, n))
+
+    return sh
+
+
 def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3) -> DataFrame:
     """(did, sh: array<string>) — distinct n-gram shingles per row.
@@ -88,14 +101,9 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     query; the Python twin is ~20× faster and byte-identical (the DuckDB
     oracles and ``test_shingle_twin_equivalence`` pin the equivalence).
     """
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def sh(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda x: _py_shingle_list(x, n))
-
     return df.select(
-        F.col(id_col).alias("did"), sh(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("did"),
+        shingle_array_udf(n)(F.col(text_col)).alias("sh"),
     )
 
 

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from ..functions.columns import (
     rolling_fingerprint,
     round_half_up,
-    shingles,
     ws_tokens,
 )
 
@@ -294,16 +293,19 @@ def decontaminate(
     corpus-wide shuffle before the per-doc count. Set
     ``broadcast_benchmark=False`` for a shuffle join when it is not small.
     """
+    from .dedup import shingle_array_udf
+
+    sh = shingle_array_udf(n)
     bench_grams = (
         benchmark.select(
-            F.explode(shingles(ws_tokens(F.col(bench_text_col)), n)).alias("g")
+            F.explode(sh(F.col(bench_text_col))).alias("g")
         ).distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     doc_grams = docs.select(
         F.col(id_col),
-        F.explode(shingles(ws_tokens(F.col(text_col)), n)).alias("g"),
+        F.explode(sh(F.col(text_col))).alias("g"),
     )
     hits = (
         doc_grams.join(bench_grams, "g")
