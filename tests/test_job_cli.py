@@ -183,3 +183,34 @@ def test_corpus_pipeline_cli_no_near_dup_rate_flags(
     n_convs = spark.read.parquet(input_dir).select("conv_id").distinct().count()
     assert 0 < summary["conversations"] <= n_convs
     assert M.read_results(spark, out).count() == summary["conversations"]
+
+
+def test_catalog_admin_cli(spark, input_dir, tmp_path_factory, capsys):
+    """status → compact → vacuum round-trip over a fragmented streaming
+    catalog, all through the admin CLI."""
+    import catalog_admin
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.operators.extraction import extract_turns
+    from marie_icr_spark.plans import manifest as M
+
+    out = str(tmp_path_factory.mktemp("admin"))
+    batch = extract_turns(spark.read.parquet(input_dir))
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    M.commit_stream_batch(batch.filter(half), 0, out, n_buckets=4)
+    M.commit_stream_batch(batch.filter(~half), 1, out, n_buckets=4)
+    n = M.read_results(spark, out).count()
+
+    assert catalog_admin.main(["status", "--table", out], spark=spark) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows"] == n and st["epoch_keys"] == st["keys"] > 0
+    assert st["live_runs"] == 2
+
+    assert catalog_admin.main(["compact", "--table", out], spark=spark) == 0
+    cp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cp["epoch_keys"] == 0 and cp["rows"] == n and cp["live_runs"] == 1
+
+    assert catalog_admin.main(["vacuum", "--table", out], spark=spark) == 0
+    vc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vc["removed"] >= 2  # the two superseded epoch dirs (+ manifests)
+    assert M.read_results(spark, out).count() == n
