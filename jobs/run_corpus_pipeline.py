@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = build_session(app_name="corpus-pipeline")
     try:
         transcripts = spark.read.parquet(args.input)
+        handles: list = []
         corpus = C.build_corpus(
             transcripts,
             min_quality=args.min_quality,
@@ -75,6 +76,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             rates=dict(args.rate) if args.rate else dict(C.SAMPLE_RATES),
             default_rate=args.default_rate,
             mode=args.mode,
+            persist_handles=handles,
         )
         manifest = commit_table(
             corpus,
@@ -84,6 +86,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             hash_cols=("conv_id", "conversation_text"),
             sum_col="n_tokens",
         )
+        for h in handles:  # the commit materialized everything
+            h.unpersist()
         summary = {
             "conversations": sum(
                 e["turn_count"] for e in manifest["buckets"].values()

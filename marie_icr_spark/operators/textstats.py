@@ -394,6 +394,20 @@ def pack_sequences(
     rows (driver-size, like the IVF centroid row), broadcast back, and each
     bucket computes its local cumsum independently.
     """
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # a non-numeric id would cast to NULL, and the bucket join would
+        # silently drop every row — fail loudly instead
+        raise TypeError(
+            f"pack_sequences needs an integral {id_col!r} (got {id_type}); "
+            "derive one first, e.g. portable_hash31(col) — and for sparse/"
+            "hashed ids pick bucket_size ≈ id_range/n_target_buckets so the "
+            "offsets table stays small"
+        )
     n = F.size(ws_tokens(F.col(text_col)))  # >= 1 even for empty text
     sized = df.select(
         F.col(id_col), (F.col(id_col) / bucket_size).cast("long").alias("_b"),

@@ -75,20 +75,21 @@ def build_corpus(
     # the curated frame fans out (dedup group-agg + join, shingle index,
     # survivor anti-join) and the component loop re-derives its edges every
     # round — without a persist the whole extract→assemble→score upstream
-    # re-runs once per consumer. MEMORY_AND_DISK: the curated corpus is a
-    # small fraction of the input, and spilling beats recomputing.
-    from pyspark import StorageLevel
+    # re-runs once per consumer. Persisting is strictly OPT-IN via
+    # persist_handles (the caller owns unpersist; without handles the plan
+    # stays pure/lazy — slower to execute, but composable and leak-free).
+    persisting = persist_handles is not None
+    if persisting:
+        from pyspark import StorageLevel
 
-    convs = convs.persist(StorageLevel.MEMORY_AND_DISK)
-    if persist_handles is not None:
+        convs = convs.persist(StorageLevel.MEMORY_AND_DISK)
         persist_handles.append(convs)
-    # persist() is lazy: the dedup stages below branch over this frame
-    # several times WITHIN one job (group-agg + join sides, the shingle
-    # index's self-join), and cache blocks only serve tasks that start
-    # after they materialize — so without forcing, the first job recomputes
-    # the whole extract→assemble upstream once per branch (measured 119s →
-    # ~20s at sf0.1). One count() materializes the cache up front.
-    convs.count()
+        # persist() is lazy: the dedup stages below branch over this frame
+        # several times WITHIN one job, and cache blocks only serve tasks
+        # that start after they materialize — without forcing, the first
+        # job recomputes the upstream once per branch (119s → ~20s at
+        # sf0.1). One count() materializes the cache up front.
+        convs.count()
 
     # exact dedup: smallest conv_id survives per identical text (grouping on
     # the md5, not the full string — the shuffle key stays 32 bytes)
@@ -112,7 +113,6 @@ def build_corpus(
         # cross-engine portable hash keeps the min-label choice (and any
         # 31-bit collision) identical in the oracle replay
         ids = convs.withColumn("cid", portable_hash31(F.col("conv_id")))
-        own_handles: list = []
         pairs = jaccard_pairs(
             ids,
             jaccard_threshold,
@@ -120,11 +120,15 @@ def build_corpus(
             text_col="conversation_text",
             # conversation texts are LONG: shingle construction dominates,
             # so the inverted index must be built once, not once per branch
-            persist_handles=own_handles,
-        ).persist(StorageLevel.MEMORY_AND_DISK)  # reused every CC round
-        own_handles.append(pairs)
-        if persist_handles is not None:
-            persist_handles.extend(own_handles)
+            persist_handles=persist_handles,
+        )
+        if persisting:
+            from pyspark import StorageLevel
+
+            pairs = pairs.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )  # reused every CC round
+            persist_handles.append(pairs)
         losers = (
             connected_components(pairs)
             .filter(F.col("component") < F.col("vertex"))

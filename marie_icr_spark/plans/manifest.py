@@ -483,12 +483,19 @@ def compact(
 
 def vacuum(output_dir: str) -> list[str]:
     """Delete run dirs not referenced by the CURRENT manifest (orphans from
-    crashed or superseded runs) and manifests older than CURRENT. Returns
-    the removed paths. Never touches referenced data — safe to run any time
-    no OTHER writer is mid-commit (same contract as Iceberg's
-    expire_snapshots + remove_orphan_files)."""
+    crashed or superseded runs), manifests older than CURRENT, and leaked
+    commit temp files. Returns the removed paths. Never touches referenced
+    data — safe to run any time no OTHER writer is mid-commit (same
+    contract as Iceberg's expire_snapshots + remove_orphan_files).
+
+    Runs the roll-forward FIRST: a dead writer's unpublished-but-complete
+    manifest must become CURRENT before liveness is computed — otherwise
+    vacuum would delete its run dir while leaving the orphan manifest
+    publishable, and a later roll-forward would point CURRENT at vacuumed
+    data."""
     import shutil
 
+    _publish_pending(output_dir)
     removed: list[str] = []
     m = load_manifest(output_dir)
     live = {
@@ -505,12 +512,20 @@ def vacuum(output_dir: str) -> list[str]:
     if os.path.isdir(cdir):
         cur = m["version"]
         for name in sorted(os.listdir(cdir)):
-            if name.startswith("manifest-v"):
-                v = int(name[len("manifest-v"):-len(".json")])
-                if v < cur:
-                    p = os.path.join(cdir, name)
-                    os.remove(p)
-                    removed.append(p)
+            if not name.startswith("manifest-v"):
+                continue
+            if ".tmp." in name:
+                # a writer killed between temp write and link(2) — content
+                # may be incomplete and nothing references it
+                p = os.path.join(cdir, name)
+                os.remove(p)
+                removed.append(p)
+                continue
+            v = int(name[len("manifest-v"):-len(".json")])
+            if v < cur:
+                p = os.path.join(cdir, name)
+                os.remove(p)
+                removed.append(p)
     return removed
 
 
@@ -552,6 +567,16 @@ def run_extraction_job_atomic(
         raise ValueError(
             "catalog contains streaming epoch-scoped commits; run "
             "compact() first to collapse it to a plain bucket layout"
+        )
+    if manifest.get("stats") not in (None, DEFAULT_STATS):
+        # the symmetric guard to commit_table's: extraction entries are
+        # certified with DEFAULT_STATS columns; committing them into a
+        # generic-certified table would carry its stats/schema blocks over
+        # entries they don't describe (and wedge every later compact)
+        raise ValueError(
+            f"catalog at {output_dir} is certified with stats columns "
+            f"{manifest['stats']}; the extraction job refuses to mix "
+            "certifications (vacuum/recreate the table)"
         )
     done = {
         int(b)

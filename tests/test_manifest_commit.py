@@ -694,3 +694,49 @@ def test_generic_catalog_empty_reads_keep_schema(spark, tmp_path_factory):
     assert inc.count() == 0
     assert "body" in inc.columns and "score" in inc.columns
     inc.select("body")  # must not raise AnalysisException
+
+
+def test_vacuum_rolls_forward_before_reclaiming(spark, sdf, tmp_path_factory):
+    """vacuum on a wedged catalog (complete orphan manifest, CURRENT
+    behind) must publish first — never delete the orphan's run dir and
+    leave the manifest publishable."""
+    import json as _json
+
+    out = str(tmp_path_factory.mktemp("vacuum_rollfwd"))
+    M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4,
+                                buckets_per_commit=4)
+    v1 = M.current_version(out)
+    n1 = M.read_results(spark, out).count()
+    # dead writer: complete v2 pointing at the same data, CURRENT at v1
+    m = M.load_manifest(out)
+    with open(M._manifest_path(out, v1 + 1), "w") as f:
+        f.write(_json.dumps({"version": v1 + 1, "buckets": m["buckets"]}))
+
+    M.vacuum(out)
+    assert M.current_version(out) == v1 + 1  # published, not orphaned
+    assert M.read_results(spark, out).count() == n1  # data intact
+
+
+def test_vacuum_reclaims_leaked_commit_tmp(spark, sdf, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("vacuum_tmp"))
+    M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4,
+                                buckets_per_commit=4)
+    leaked = os.path.join(
+        M._commit_dir(out), "manifest-v9.json.tmp.deadbeef"
+    )
+    with open(leaked, "w") as f:
+        f.write("{partial")
+    removed = M.vacuum(out)  # must not raise on the tmp name
+    assert leaked in removed
+    assert M.read_results(spark, out).count() == sdf.count()
+
+
+def test_batch_job_refuses_generic_certified_catalog(
+    spark, sdf, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("batch_on_generic"))
+    g = spark.createDataFrame([("x", "t", 1)], "conv_id string, body string, v int")
+    M.commit_table(g, out, key_col="conv_id", n_buckets=2,
+                   hash_cols=("conv_id", "body"))
+    with pytest.raises(ValueError, match="certif"):
+        M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4)

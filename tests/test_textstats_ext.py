@@ -125,3 +125,13 @@ def test_pack_sequences_straddles_and_covers(spark):
         .collect()
     )
     assert {r["doc_id"]: r["s"] for r in tot} == {1: 5, 2: 6, 3: 2, 4: 1}
+
+
+def test_pack_sequences_rejects_string_ids(spark):
+    import pytest as _pytest
+
+    from marie_icr_spark.operators.textstats import pack_sequences
+
+    df = spark.createDataFrame([("conv-1", "a b c")], "doc_id string, text string")
+    with _pytest.raises(TypeError, match="integral"):
+        pack_sequences(df, ctx=8)
