@@ -466,11 +466,23 @@ def decode_png_pixels(content: bytes):
         pos = data_at + length + 4  # skip data + CRC
     if not idat or not w or not h or w <= 0 or h <= 0:
         return None
+    stride = w * channels
+    expected = h * (1 + stride)
+    # bound BEFORE inflating: a small crafted zlib-bomb IDAT could
+    # otherwise expand to gigabytes on an executor before being rejected.
+    # 256 MB of raw scanlines (~8k x 8k RGBA) is far beyond any sane
+    # asset thumbnail; declared dims above it are hostile or corrupt.
+    if expected > 256 * 1024 * 1024:
+        return None
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected)
+        # stream must end exactly at the declared size: trailing
+        # compressed input means the declared dims understate the payload
+        if dec.unconsumed_tail or dec.decompress(b"", 1):
+            return None
     except zlib.error:
         return None
-    stride = w * channels
     flat = _unfilter_scanlines(raw, h, stride, channels)
     if flat is None:
         return None

@@ -409,8 +409,13 @@ def pack_sequences(
             "offsets table stays small"
         )
     n = F.size(ws_tokens(F.col(text_col)))  # >= 1 even for empty text
+    # integer `div`, not double division: exact over the full long range
+    # (doubles lose integer precision past 2^53) and order-consistent —
+    # buckets stay contiguous id ranges, so the bucket-ordered prefix sum
+    # below reproduces the global id order
     sized = df.select(
-        F.col(id_col), (F.col(id_col) / bucket_size).cast("long").alias("_b"),
+        F.col(id_col),
+        F.expr(f"`{id_col}` div {int(bucket_size)}").alias("_b"),
         n.alias("_n"),
     )
     btot = sized.groupBy("_b").agg(F.sum("_n").alias("_bn"))

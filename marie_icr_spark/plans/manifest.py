@@ -135,6 +135,29 @@ def _publish_pending(output_dir: str) -> int:
     return v
 
 
+def _catalog_origin(manifest: dict) -> str | None:
+    """Writer family that owns this catalog: ``'batch'`` (extraction jobs),
+    ``'stream'`` (micro-batch sink), or ``'table'`` (generic full-snapshot
+    commits). Recorded explicitly by each writer and preserved across
+    :func:`compact`; for pre-origin manifests it is inferred — epoch-scoped
+    keys mean a stream wrote them, plain keys pointing at non-compaction
+    run dirs mean a batch writer did. Mixing families in one catalog is
+    refused by the writers (see :func:`commit_stream_batch` /
+    :func:`run_extraction_job_atomic`): batch and epoch keys covering the
+    same rows would BOTH stay visible and double-emit."""
+    o = manifest.get("origin")
+    if o:
+        return o
+    if any("/" in k for k in manifest["buckets"]):
+        return "stream"
+    if any(
+        e["run_id"] is not None and not str(e["run_id"]).startswith("compact-")
+        for e in manifest["buckets"].values()
+    ):
+        return "batch"
+    return None
+
+
 def _commit_manifest(output_dir: str, base: dict, updates: dict) -> dict:
     """Compare-and-swap one manifest version on top of ``base``.
 
@@ -150,7 +173,7 @@ def _commit_manifest(output_dir: str, base: dict, updates: dict) -> dict:
         "version": new_version,
         "buckets": {**base.get("buckets", {}), **updates},
     }
-    for extra in ("stats", "schema"):
+    for extra in ("stats", "schema", "origin"):
         if base.get(extra):
             manifest[extra] = base[extra]
     path = _manifest_path(output_dir, new_version)
@@ -249,11 +272,16 @@ def read_incremental(
     don't reprocess compacted-but-identical data.
 
     Scope: this is an APPEND/REPLACE change feed — rows of added or
-    re-extracted commit units. Deletions (buckets tombstoned by a
-    full-snapshot :func:`commit_table` replace) emit nothing here; a
-    consumer that must react to deletes diffs the manifests directly
-    (``load_manifest(v_old)`` vs ``load_manifest(v_new)`` keys whose
-    ``run_id`` went to None).
+    re-extracted commit units. Deletions emit nothing here, and a consumer
+    that must react to them must diff the manifests' KEY SETS, not just
+    ``run_id`` transitions: a full-snapshot :func:`commit_table` replace
+    builds on an empty base, so prior keys with a different ``n_buckets``
+    or epoch-scoped layout are REMOVED outright (absent from the new
+    manifest) rather than tombstoned to ``run_id`` None — only same-layout
+    buckets empty under the new snapshot get the None tombstone. The
+    complete delete signal is ``set(load_manifest(v_old)['buckets']) -
+    {k for k, e in load_manifest(v_new)['buckets'].items()
+    if e['run_id'] is not None}``.
     """
     old = load_manifest(output_dir, from_version)
     new = load_manifest(
@@ -455,6 +483,10 @@ def compact(
         "buckets": {k: e for k, e in m["buckets"].items() if k not in merged},
         "stats": m.get("stats"),
         "schema": m.get("schema"),
+        # keep the writer family across the rewrite (a compacted streaming
+        # catalog must still refuse batch writers, and vice versa); infer
+        # it for pre-origin manifests while the epoch keys still show it
+        "origin": _catalog_origin(m),
     }
     while True:
         try:
@@ -478,6 +510,7 @@ def compact(
                 },
                 "stats": fresh.get("stats"),
                 "schema": fresh.get("schema"),
+                "origin": _catalog_origin(fresh),
             }
 
 
@@ -512,6 +545,13 @@ def vacuum(output_dir: str) -> list[str]:
     if os.path.isdir(cdir):
         cur = m["version"]
         for name in sorted(os.listdir(cdir)):
+            if name.startswith(f"{_CURRENT}.tmp."):
+                # a writer killed inside _swap_current between the fsync'd
+                # temp write and the rename — nothing references the temp
+                p = os.path.join(cdir, name)
+                os.remove(p)
+                removed.append(p)
+                continue
             if not name.startswith("manifest-v"):
                 continue
             if ".tmp." in name:
@@ -563,11 +603,16 @@ def run_extraction_job_atomic(
     if any("/" in k for k in manifest["buckets"]):
         # epoch-scoped streaming keys and plain batch keys for the same
         # buckets would BOTH stay visible (read_results unions all keys) —
-        # every row would surface twice. Refuse the ill-defined mix.
+        # every row would surface twice. Refuse the ill-defined mix. A
+        # COMPACTED streaming catalog (plain layout) is legal: the batch
+        # job's plain keys atomically replace the stream's bucket by
+        # bucket, which flips ownership to 'batch' below — after which the
+        # streaming sink refuses further commits here.
         raise ValueError(
             "catalog contains streaming epoch-scoped commits; run "
             "compact() first to collapse it to a plain bucket layout"
         )
+    manifest["origin"] = "batch"
     if manifest.get("stats") not in (None, DEFAULT_STATS):
         # the symmetric guard to commit_table's: extraction entries are
         # certified with DEFAULT_STATS columns; committing them into a
@@ -694,6 +739,28 @@ def commit_stream_batch(
     if batch_df.isEmpty():
         return None
     _publish_pending(output_dir)
+    manifest = load_manifest(output_dir)
+    if _catalog_origin(manifest) in ("batch", "table"):
+        # the inverse of run_extraction_job_atomic's guard: batch-committed
+        # keys and epoch-scoped streaming keys for the same rows would BOTH
+        # stay visible (read_results unions all keys), double-emitting
+        # them — and a later compact() would fold the duplicates in
+        # permanently. Refuse the ill-defined mix. Compaction-produced
+        # plain keys are fine (origin stays 'stream' across compact()), so
+        # a long-running stream survives periodic compaction.
+        raise ValueError(
+            "catalog contains batch-committed keys; streaming commits "
+            "refuse to mix with them (use a fresh output_dir)"
+        )
+    if manifest.get("stats") not in (None, DEFAULT_STATS):
+        # streaming entries are certified with DEFAULT_STATS columns;
+        # committing them into a generic commit_table certification would
+        # carry its stats/schema blocks over entries they don't describe
+        raise ValueError(
+            f"catalog at {output_dir} is certified with stats columns "
+            f"{manifest['stats']}; the streaming sink refuses to mix "
+            "certifications (vacuum/recreate the table)"
+        )
     run_id = f"epoch{epoch}-{uuid.uuid4().hex[:8]}"
     bucketed = batch_df.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
@@ -734,10 +801,15 @@ def commit_stream_batch(
     )
     # single streaming writer per checkpoint → CAS conflicts only on a true
     # concurrent-writer misconfiguration; reload once then surface it
+    def _base() -> dict:
+        b = load_manifest(output_dir)
+        b["origin"] = "stream"
+        return b
+
     try:
-        return _commit_manifest(output_dir, load_manifest(output_dir), updates)
+        return _commit_manifest(output_dir, _base(), updates)
     except CommitConflict:
-        return _commit_manifest(output_dir, load_manifest(output_dir), updates)
+        return _commit_manifest(output_dir, _base(), updates)
 
 
 def commit_table(
@@ -808,6 +880,7 @@ def commit_table(
             "buckets": {},  # full-snapshot replace
             "stats": want_stats,
             "schema": _json.loads(bucketed.schema.json()),
+            "origin": "table",
         }
         try:
             return _commit_manifest(output_dir, base, updates)

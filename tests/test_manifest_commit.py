@@ -652,6 +652,44 @@ def test_commit_table_recommit_tombstones_empty_buckets(spark, tmp_path_factory)
     assert M.read_results(spark, out).count() == 1
 
 
+def test_stream_sink_refuses_batch_catalog(spark, sdf, tmp_path_factory):
+    """The inverse guard (ADVICE r3): a streaming epoch committed next to
+    batch-owned plain keys would double-emit those rows on read (and a
+    later compact() would fold the duplicates in permanently) — refuse.
+    Ownership follows the catalog, not the key shape: after the batch job
+    takes over a compacted streaming catalog, streaming must refuse too."""
+    from marie_icr_spark.operators.extraction import extract_turns
+
+    batch = extract_turns(sdf)
+    out = str(tmp_path_factory.mktemp("stream_guard_batch"))
+    M.run_extraction_job_atomic(spark, sdf, out, n_buckets=N_BUCKETS)
+    with pytest.raises(ValueError, match="batch-committed"):
+        M.commit_stream_batch(batch, 0, out, n_buckets=N_BUCKETS)
+
+    out2 = str(tmp_path_factory.mktemp("stream_guard_table"))
+    M.commit_table(
+        batch, out2, key_col="conv_id", hash_cols=("conv_id", "turn_idx")
+    )
+    with pytest.raises(ValueError):
+        M.commit_stream_batch(batch, 0, out2, n_buckets=N_BUCKETS)
+
+    # stream → compact → stream stays legal (origin survives the rewrite)
+    out3 = str(tmp_path_factory.mktemp("stream_guard_compacted"))
+    M.commit_stream_batch(batch, 0, out3, n_buckets=N_BUCKETS)
+    M.compact(spark, out3)
+    assert M._catalog_origin(M.load_manifest(out3)) == "stream"
+    M.commit_stream_batch(batch.limit(0).union(batch), 1, out3,
+                          n_buckets=N_BUCKETS)
+    # ... but batch takeover of the compacted catalog flips ownership
+    out4 = str(tmp_path_factory.mktemp("stream_guard_takeover"))
+    M.commit_stream_batch(batch, 0, out4, n_buckets=N_BUCKETS)
+    M.compact(spark, out4)
+    M.run_extraction_job_atomic(spark, sdf, out4, n_buckets=N_BUCKETS)
+    assert M._catalog_origin(M.load_manifest(out4)) == "batch"
+    with pytest.raises(ValueError, match="batch-committed"):
+        M.commit_stream_batch(batch, 2, out4, n_buckets=N_BUCKETS)
+
+
 def test_batch_job_refuses_epoch_scoped_catalog(spark, sdf, tmp_path_factory):
     """run_extraction_job_atomic over a streaming-sink catalog would double
     every row (plain keys next to live epoch keys) — must refuse."""
