@@ -9,6 +9,7 @@ exact DuckDB twin for the oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -220,22 +221,63 @@ def tfidf_top_terms(
     )
 
 
+_REP_WS = None  # compiled lazily on the executor
+
+
+def _py_repetition_counts(text: str | None) -> list[int]:
+    """(total, distinct) n-gram counts for n = 1, 2, 3 as a flat 6-list.
+
+    Tokenization is the pinned twin of ``ws_tokens`` (see
+    ``dedup._py_shingle_list``): trim SPACES only, collapse Java ``\\s``
+    runs ([ \\t\\n\\x0b\\f\\r]) to one space, split on ' ' — so empty text
+    yields one empty 1-gram token, matching ``F.split`` semantics.
+    """
+    global _REP_WS
+    if _REP_WS is None:
+        import re
+
+        _REP_WS = re.compile("[ \t\n\x0b\f\r]+")
+    toks = _REP_WS.sub(" ", (text or "").strip(" ")).split(" ")
+    out: list[int] = []
+    for n in (1, 2, 3):
+        k = len(toks) - (n - 1)
+        if k <= 0:
+            out += [0, 0]
+        elif n == 1:
+            out += [k, len(set(toks))]
+        else:
+            out += [k, len({tuple(toks[i : i + n]) for i in range(k)})]
+    return out
+
+
+def _repetition_counts_udf():
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def rc(texts: pd.Series) -> pd.Series:
+        return texts.map(_py_repetition_counts)
+
+    return rc
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
 ) -> DataFrame:
     """Gopher/RefinedWeb-style within-document repetition signals: the
     fraction of duplicated word n-grams (n = 1, 2, 3), computed as
     (total - distinct) / total rounded 6 (0.0 for empty). High values flag
-    boilerplate-looping documents a training pipeline should drop. Pure
-    Column expressions."""
-    from ..functions.columns import ngrams
+    boilerplate-looping documents a training pipeline should drop.
 
-    toks = ws_tokens(F.col(text_col))
+    Counting runs in ONE Arrow-batched pandas UDF (the interpreted-Catalyst
+    ``ngrams``/``array_distinct`` form evaluated per-element array
+    expressions at ~50-90µs/shingle — the same bottleneck the dedup
+    queries vectorized away); the fractions and half-up rounding stay in
+    Column form so the emitted doubles are bit-identical to the SQL
+    oracle's."""
+    c = F.col("_rc")
     cols = []
-    for n in (1, 2, 3):
-        grams = toks if n == 1 else ngrams(toks, n)
-        total = F.size(grams)
-        distinct = F.size(F.array_distinct(grams))
+    for i, n in enumerate((1, 2, 3)):
+        total, distinct = c[2 * i], c[2 * i + 1]
         cols.append(
             F.when(
                 total > 0,
@@ -244,7 +286,10 @@ def repetition_stats(
             .otherwise(F.lit(0.0))
             .alias(f"dup_{n}gram_frac")
         )
-    return df.select(*id_cols, *cols)
+    return (
+        df.withColumn("_rc", _repetition_counts_udf()(F.col(text_col)))
+        .select(*id_cols, *cols)
+    )
 
 
 def stratified_hash_sample(

@@ -2464,22 +2464,38 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _repetition_oracle_sql() -> str:
-    from .functions.columns import ngrams_sql, round_half_up_sql
+    # set-based (unnest + lead windows), not per-row list expressions:
+    # ngrams_sql inlines the tokenizer once per token reference, which made
+    # DuckDB re-split every text ~5x per row (78s at sf0.1 vs ~2s now)
+    from .functions.columns import round_half_up_sql
 
     toks = _TOKENS_SQL.format(e="text")
-    cols = []
-    for n in (1, 2, 3):
-        grams = toks if n == 1 else ngrams_sql(toks, n)
-        frac = round_half_up_sql(
-            f"CAST(len({grams}) - len(list_distinct({grams})) AS DOUBLE)"
-            f" / len({grams})", 6,
-        )
-        cols.append(
-            f"CASE WHEN len({grams}) > 0 THEN {frac} ELSE 0.0 END"
-            f" AS dup_{n}gram_frac"
-        )
-    sel = ",\n       ".join(cols)
-    return f"SELECT doc_id,\n       {sel}\nFROM documents"
+
+    def frac(tot: str, d: str) -> str:
+        return round_half_up_sql(f"CAST({tot} - {d} AS DOUBLE) / {tot}", 6)
+
+    return f"""
+WITH d AS (SELECT doc_id, {toks} w FROM documents),
+t AS (SELECT doc_id, unnest(w) tok, unnest(range(len(w))) i FROM d),
+g AS (SELECT doc_id, tok,
+             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) t2,
+             lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) t3
+      FROM t),
+c AS (SELECT doc_id,
+             COUNT(*) tot1, COUNT(DISTINCT tok) d1,
+             COUNT(t2) tot2, COUNT(DISTINCT tok || ' ' || t2) d2,
+             COUNT(t3) tot3,
+             COUNT(DISTINCT CASE WHEN t3 IS NOT NULL
+                   THEN tok || ' ' || t2 || ' ' || t3 END) d3
+      FROM g GROUP BY doc_id)
+SELECT doc_id,
+       {frac('tot1', 'd1')} AS dup_1gram_frac,
+       CASE WHEN tot2 > 0 THEN {frac('tot2', 'd2')}
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN tot3 > 0 THEN {frac('tot3', 'd3')}
+            ELSE 0.0 END AS dup_3gram_frac
+FROM c
+"""
 
 
 ORACLE_REPETITION_STATS = _repetition_oracle_sql()

@@ -83,3 +83,39 @@ def test_shingle_twin_equivalence(spark):
         ).collect()
     }
     assert fast == slow
+
+
+def test_repetition_counts_twin_equivalence(spark):
+    """The vectorized repetition counter must match the Column form
+    (ngrams + array_distinct over ws_tokens) on every edge the shingle
+    twin pins — tokenize quirks, empty text, texts shorter than n."""
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.functions.columns import ngrams, ws_tokens
+    from marie_icr_spark.operators.textstats import _py_repetition_counts
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "  leading and trailing  "),
+        (3, "tab\tand\nnewline\fand\rcr collapse  runs"),
+        (4, "dup a dup a dup a dup a"),
+        (5, ""),
+        (6, "one two"),
+        (7, "\tstarts with java-ws not space"),
+        (8, "x x x x x x x x x x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = ws_tokens(F.col("text"))
+    exprs = []
+    for n in (1, 2, 3):
+        grams = toks if n == 1 else ngrams(toks, n)
+        exprs += [
+            F.size(grams).cast("long"),
+            F.size(F.array_distinct(grams)).cast("long"),
+        ]
+    slow = {
+        r["doc_id"]: [max(v, 0) for v in r["c"]]
+        for r in df.select("doc_id", F.array(*exprs).alias("c")).collect()
+    }
+    fast = {i: _py_repetition_counts(t) for i, t in rows}
+    assert fast == slow
