@@ -3,7 +3,8 @@
 
     python jobs/catalog_admin.py status  --table <dir>
     python jobs/catalog_admin.py compact --table <dir> [--buckets 0,1,2]
-    python jobs/catalog_admin.py vacuum  --table <dir>
+    python jobs/catalog_admin.py vacuum  --table <dir> \
+        [--keep-versions N] [--min-age-seconds S]
 
 The operational face of plans/manifest.py: ``status`` reports the CURRENT
 version, per-key totals, live run dirs, and the stats certification;
@@ -27,12 +28,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--buckets", default=None,
         help="comma-separated bucket ids (compact: partial range)",
     )
+    ap.add_argument(
+        "--keep-versions", type=int, default=0,
+        help="vacuum: retain the last N manifest versions before CURRENT "
+        "(time-travel window)",
+    )
+    ap.add_argument(
+        "--min-age-seconds", type=float, default=0.0,
+        help="vacuum: only reclaim files older than this (grace period "
+        "for in-flight writers / slow readers)",
+    )
     args = ap.parse_args(argv)
 
     from marie_icr_spark.plans import manifest as M
 
     if args.action == "vacuum":
-        removed = M.vacuum(args.table)
+        removed = M.vacuum(
+            args.table,
+            keep_versions=args.keep_versions,
+            min_age_seconds=args.min_age_seconds,
+        )
         print(json.dumps({"action": "vacuum", "removed": len(removed),
                           "paths": removed}))
         return 0

@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     ap.add_argument("--default-rate", type=float, default=C.SAMPLE_DEFAULT_RATE)
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--mode", default="sparse", help="PSM mode for layout turns")
+    ap.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="reliable checkpoint dir for the connected-component rounds "
+        "(pass a durable path on a real cluster; default = executor-local)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -77,6 +83,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             default_rate=args.default_rate,
             mode=args.mode,
             persist_handles=handles,
+            checkpoint_dir=args.checkpoint_dir,
         )
         manifest = commit_table(
             corpus,

@@ -40,6 +40,7 @@ def build_corpus(
     sample_salt: str = SAMPLE_SALT,
     mode: str = "sparse",
     persist_handles: list | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transcripts → curated conversation corpus.
 
@@ -49,6 +50,9 @@ def build_corpus(
     ``persist_handles``: pass a list to receive the frames this pipeline
     persists (see below) — the caller can ``unpersist()`` exactly those
     after materializing the result, without touching other session cache.
+    ``checkpoint_dir``: reliable (executor-loss-safe) checkpoint location
+    for the connected-component rounds — pass it on a real cluster; the
+    default keeps executor-local checkpoints (fine on local mode).
     """
     from ..functions.columns import portable_hash31
     from ..operators.assembly import assemble_conversations
@@ -130,7 +134,7 @@ def build_corpus(
             )  # reused every CC round
             persist_handles.append(pairs)
         losers = (
-            connected_components(pairs)
+            connected_components(pairs, checkpoint_dir=checkpoint_dir)
             .filter(F.col("component") < F.col("vertex"))
             .select(F.col("vertex").alias("cid"))
         )

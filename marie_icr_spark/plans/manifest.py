@@ -514,12 +514,28 @@ def compact(
             }
 
 
-def vacuum(output_dir: str) -> list[str]:
-    """Delete run dirs not referenced by the CURRENT manifest (orphans from
-    crashed or superseded runs), manifests older than CURRENT, and leaked
-    commit temp files. Returns the removed paths. Never touches referenced
-    data — safe to run any time no OTHER writer is mid-commit (same
-    contract as Iceberg's expire_snapshots + remove_orphan_files).
+def vacuum(
+    output_dir: str,
+    keep_versions: int = 0,
+    min_age_seconds: float = 0.0,
+) -> list[str]:
+    """Delete run dirs not referenced by any RETAINED manifest (orphans
+    from crashed or superseded runs), manifests older than the retention
+    window, and leaked commit temp files. Returns the removed paths.
+    Never touches referenced data — safe to run any time no OTHER writer
+    is mid-commit (same contract as Iceberg's expire_snapshots +
+    remove_orphan_files).
+
+    Retention policy (Iceberg expire_snapshots knobs):
+
+    * ``keep_versions=N`` retains the last N manifest versions BEFORE
+      CURRENT (and every run dir any of them references), so time travel
+      via ``load_manifest(version=...)`` / ``read_results(version=...)``
+      keeps working over that window. Default 0 = only CURRENT survives.
+    * ``min_age_seconds`` skips anything modified more recently — the
+      grace period that protects an in-flight writer's not-yet-published
+      run dir (and freshly superseded data a slow reader may still be
+      scanning) from a concurrent vacuum. Default 0 = age-blind.
 
     Runs the roll-forward FIRST: a dead writer's unpublished-but-complete
     manifest must become CURRENT before liveness is computed — otherwise
@@ -527,43 +543,62 @@ def vacuum(output_dir: str) -> list[str]:
     publishable, and a later roll-forward would point CURRENT at vacuumed
     data."""
     import shutil
+    import time
 
     _publish_pending(output_dir)
     removed: list[str] = []
-    m = load_manifest(output_dir)
-    live = {
-        e["run_id"] for e in m["buckets"].values() if e["run_id"] is not None
-    }
+    cur = current_version(output_dir)
+    oldest_kept = max(1, cur - max(0, int(keep_versions)))
+    live: set[str] = set()
+    for v in range(oldest_kept, cur + 1):
+        if v == 0:
+            continue
+        try:
+            m = load_manifest(output_dir, v)
+        except FileNotFoundError:
+            continue  # already expired by an earlier, stricter vacuum
+        live |= {
+            e["run_id"]
+            for e in m["buckets"].values()
+            if e["run_id"] is not None
+        }
+    cutoff = time.time() - max(0.0, min_age_seconds)
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= cutoff
+        except OSError:
+            return False  # vanished or unreadable: leave it alone
+
     data = os.path.join(output_dir, "data")
     if os.path.isdir(data):
         for rid in sorted(os.listdir(data)):
-            if rid not in live:
-                p = os.path.join(data, rid)
+            p = os.path.join(data, rid)
+            if rid not in live and _old_enough(p):
                 shutil.rmtree(p)
                 removed.append(p)
     cdir = _commit_dir(output_dir)
     if os.path.isdir(cdir):
-        cur = m["version"]
         for name in sorted(os.listdir(cdir)):
+            p = os.path.join(cdir, name)
             if name.startswith(f"{_CURRENT}.tmp."):
                 # a writer killed inside _swap_current between the fsync'd
                 # temp write and the rename — nothing references the temp
-                p = os.path.join(cdir, name)
-                os.remove(p)
-                removed.append(p)
+                if _old_enough(p):
+                    os.remove(p)
+                    removed.append(p)
                 continue
             if not name.startswith("manifest-v"):
                 continue
             if ".tmp." in name:
                 # a writer killed between temp write and link(2) — content
                 # may be incomplete and nothing references it
-                p = os.path.join(cdir, name)
-                os.remove(p)
-                removed.append(p)
+                if _old_enough(p):
+                    os.remove(p)
+                    removed.append(p)
                 continue
             v = int(name[len("manifest-v"):-len(".json")])
-            if v < cur:
-                p = os.path.join(cdir, name)
+            if v < oldest_kept and _old_enough(p):
                 os.remove(p)
                 removed.append(p)
     return removed

@@ -109,19 +109,35 @@ FROM g
 
 
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+from .suites import (  # noqa: E402
+    MERGED_MEMBERS,
+    SUITE_ORACLES,
+    SUITE_QUERIES,
+)
 
-QUERIES = {
+# full registry: every individual operator query plus the compound suites —
+# this is what `make sweep` (sweep_oracles.py) checks, so no operator ever
+# loses its standalone oracle
+ALL_QUERIES = {
     "extract_turns": q_extract_turns,
     "extract_kind_counts": q_extract_kind_counts,
     "assemble_conversations": q_assemble_conversations,
     "turn_order": q_turn_order,
     **EXT_QUERIES,
+    **SUITE_QUERIES,
 }
 
-ORACLES = {
+ALL_ORACLES = {
     "extract_turns": ORACLE_EXTRACT_TURNS,
     "extract_kind_counts": ORACLE_EXTRACT_KIND_COUNTS,
     "assemble_conversations": ORACLE_ASSEMBLE,
     "turn_order": ORACLE_TURN_ORDER,
     **EXT_ORACLES,
+    **SUITE_ORACLES,
 }
+
+# driver-facing registry (__spark_entry__.queries()): suites replace their
+# members so every registered query fits inside the driver's ~50-row
+# CORRECTNESS gate (it recorded exactly the first 50 of 67 for two rounds)
+QUERIES = {k: v for k, v in ALL_QUERIES.items() if k not in MERGED_MEMBERS}
+ORACLES = {k: v for k, v in ALL_ORACLES.items() if k not in MERGED_MEMBERS}

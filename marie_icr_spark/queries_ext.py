@@ -3252,9 +3252,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.repartition(3).write.mode("append").parquet(inp)  # the replay
     name = f"dd_{uuid.uuid4().hex[:8]}"
     try:
+        # the production bounded-state operator, with a horizon far beyond
+        # the data's time span so the full replay is exactly deduped
         q, sink = stream_dedup_turns(
             spark, inp, f"{base}/ckpt", available_now=True,
-            max_files_per_trigger=2, sink_name=name,
+            max_files_per_trigger=2, sink_name=name, watermark="3650 days",
         )
         q.awaitTermination()
         return spark.table(sink).select(

@@ -317,17 +317,31 @@ def stream_dedup_turns(
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
     sink_name: str = "dedup_sink",
+    watermark: str | None = "2 hours",
 ):
     """Streaming exact dedup on the turn key: each (conv_id, turn_idx) is
     emitted exactly once no matter how many times — or in how many
     micro-batches — it arrives (at-least-once upstream delivery → effective
-    exactly-once emission). ``dropDuplicates`` keeps per-key state across
-    batches; a production stream bounds that state with
-    ``dropDuplicatesWithinWatermark`` once keys stop repeating beyond a
-    lateness horizon. Append-mode memory sink. Returns (query, sink_name).
+    exactly-once emission).
+
+    The DEFAULT is the bounded-state form: ``withWatermark(ts, watermark)``
+    + ``dropDuplicatesWithinWatermark`` — per-key state is evicted once the
+    watermark passes its event time, so state stays O(keys-per-horizon)
+    on an eternal 10^12-turn stream instead of growing forever. The
+    contract that buys: a replay arriving WITHIN the horizon is
+    suppressed; a duplicate key arriving after eviction is re-emitted
+    (pinned in tests). Pass ``watermark=None`` for the unbounded
+    ``dropDuplicates`` form (exact dedup over any replay distance — the
+    replay-oracle harness uses an effectively-unbounded horizon instead).
+    Append-mode memory sink. Returns (query, sink_name).
     """
     stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
-    deduped = stream.dropDuplicates(["conv_id", "turn_idx"])
+    if watermark is None:
+        deduped = stream.dropDuplicates(["conv_id", "turn_idx"])
+    else:
+        deduped = stream.withWatermark(
+            "ts", watermark
+        ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
     writer = (
         deduped.select("conv_id", "turn_idx", "role")
         .writeStream.format("memory")

@@ -7,8 +7,14 @@ but runnable at sf0.1, where scale-sensitive oracle bugs surface that the
 driver's sf0.01 gate cannot see (e.g. DuckDB window order under parallel
 scans).
 
+Sweeps the FULL registry (queries.ALL_QUERIES: every individual operator
+query plus the compound suites) by default — the driver-facing registry
+(``--registry driver``) is the consolidated subset ``__spark_entry__``
+exposes.
+
 Usage: python sweep_oracles.py [--sf-dir /root/testdata/sf0.1]
                                [--only name1,name2] [--cpus 16]
+                               [--registry all|driver]
 Exits non-zero on any mismatch.
 """
 
@@ -39,6 +45,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("--registry", choices=("all", "driver"), default="all")
     args = ap.parse_args()
 
     import duckdb
@@ -59,7 +66,9 @@ def main() -> int:
         )
         .getOrCreate()
     )
-    import __spark_entry__ as E
+    import __spark_entry__ as E  # noqa: F401 — sets sys.path for the package
+
+    from marie_icr_spark import queries as Q
 
     con = duckdb.connect()
     for t in TABLES:
@@ -67,10 +76,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
         )
 
-    names = sorted(E.queries())
+    if args.registry == "driver":
+        qs, oracles = Q.QUERIES, Q.ORACLES
+    else:
+        qs, oracles = Q.ALL_QUERIES, Q.ALL_ORACLES
+    names = sorted(qs)
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
-    qs, oracles = E.queries(), E.oracle_sql()
     failures = []
     for name in names:
         t0 = time.time()

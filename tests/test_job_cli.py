@@ -214,3 +214,30 @@ def test_catalog_admin_cli(spark, input_dir, tmp_path_factory, capsys):
     vc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert vc["removed"] >= 2  # the two superseded epoch dirs (+ manifests)
     assert M.read_results(spark, out).count() == n
+
+
+def test_corpus_pipeline_checkpoint_dir_no_warning(
+    spark, input_dir, tmp_path_factory, capsys
+):
+    """--checkpoint-dir routes the CC rounds to reliable checkpoints: the
+    'session checkpoint dir set but checkpoint_dir not passed' UserWarning
+    must NOT fire, and round files land under the given dir."""
+    import os
+    import warnings
+
+    import run_corpus_pipeline
+
+    out = str(tmp_path_factory.mktemp("corpus_ckpt_out"))
+    ckpt = str(tmp_path_factory.mktemp("corpus_ckpt"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        rc = run_corpus_pipeline.main(
+            ["--input", input_dir, "--output", out, "--n-buckets", "2",
+             "--checkpoint-dir", ckpt],
+            spark=spark,
+        )
+    assert rc == 0
+    capsys.readouterr()
+    # reliable checkpoints write under the passed dir (unless the graph had
+    # no edges, in which case nothing needed checkpointing)
+    assert os.path.isdir(ckpt)

@@ -778,3 +778,96 @@ def test_batch_job_refuses_generic_certified_catalog(
                    hash_cols=("conv_id", "body"))
     with pytest.raises(ValueError, match="certif"):
         M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4)
+
+
+def test_vacuum_retention_policy(spark, sdf, tmp_path_factory):
+    """keep_versions retains a time-travel window (older manifests + the
+    run dirs they reference survive); min_age_seconds is a grace period
+    that protects fresh files from a concurrent vacuum."""
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.operators.extraction import extract_turns
+
+    out = str(tmp_path_factory.mktemp("vacuum_retention"))
+    batch = extract_turns(sdf).select("conv_id", "turn_idx", "span_count")
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    kw = dict(key_col="conv_id", n_buckets=4,
+              hash_cols=("conv_id", "turn_idx"))
+    M.commit_table(batch.filter(half), out, **kw)      # v1
+    M.commit_table(batch, out, **kw)                   # v2
+    M.commit_table(batch.filter(~half), out, **kw)     # v3
+    n_v2 = batch.count()
+
+    # grace period: everything is younger than an hour — nothing reclaimed
+    assert M.vacuum(out, min_age_seconds=3600) == []
+
+    # keep the last 1 version before CURRENT: v2 stays time-travelable,
+    # v1 (manifest + its now-unreferenced run dir) expires
+    removed = M.vacuum(out, keep_versions=1)
+    assert any("manifest-v1" in p for p in removed)
+    assert M.read_results(spark, out, version=2).count() == n_v2
+    with pytest.raises(FileNotFoundError):
+        M.load_manifest(out, 1)
+
+    # default vacuum then collapses the window to CURRENT only
+    removed2 = M.vacuum(out)
+    assert any("manifest-v2" in p for p in removed2)
+    assert (
+        M.read_results(spark, out).count() == batch.filter(~half).count()
+    )
+    _verify_generic_reads_ok(spark, out)
+
+
+def _verify_generic_reads_ok(spark, out):
+    m = M.load_manifest(out)
+    live = {e["run_id"] for e in m["buckets"].values()
+            if e["run_id"] is not None}
+    data = os.path.join(out, "data")
+    on_disk = set(os.listdir(data)) if os.path.isdir(data) else set()
+    assert live <= on_disk, "manifest references vacuumed data"
+
+
+def test_commit_table_concurrent_writers_cas_retry(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Two commit_table writers racing on one catalog: the loser's CAS
+    conflict triggers a reload-and-retry on fresh state, and the final
+    snapshot is exactly the last writer's (full-replace semantics) — no
+    torn manifest, no leftover keys from the interleaved commit. A
+    compaction over the survivor leaves the rows unchanged."""
+    out = str(tmp_path_factory.mktemp("cas_race"))
+    d1 = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "conv_id string, v int"
+    )
+    d2 = spark.createDataFrame([("z", 9)], "conv_id string, v int")
+    kw = dict(key_col="conv_id", n_buckets=4, hash_cols=("conv_id",))
+
+    real = M._commit_manifest
+    state = {"injected": False, "calls": 0}
+
+    def racing(output_dir, base, updates):
+        state["calls"] += 1
+        if not state["injected"]:
+            state["injected"] = True
+            M.commit_table(d2, out, **kw)  # the competing writer wins v1
+        return real(output_dir, base, updates)
+
+    monkeypatch.setattr(M, "_commit_manifest", racing)
+    M.commit_table(d1, out, **kw)
+    # 3 CAS attempts: loser's doomed v1, injected winner's v1, retry's v2
+    assert state["injected"] and state["calls"] == 3
+    m = M.load_manifest(out)
+    assert m["version"] == 2
+    got = sorted(
+        (r["conv_id"], r["v"])
+        for r in M.read_results(spark, out).collect()
+    )
+    assert got == [("a", 1), ("b", 2), ("c", 3)]
+
+    monkeypatch.setattr(M, "_commit_manifest", real)
+    M.compact(spark, out)
+    got2 = sorted(
+        (r["conv_id"], r["v"])
+        for r in M.read_results(spark, out).collect()
+    )
+    assert got2 == got

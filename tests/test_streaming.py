@@ -138,3 +138,76 @@ def test_stream_session_windows_merge_across_batches(spark, tmp_path_factory):
         for r in spark.table(sink).collect()
     )
     assert got == [(0, 3), (120, 1)]
+
+
+def test_stream_dedup_watermark_bounds_state(spark, tmp_path_factory):
+    """The DEFAULT bounded-state dedup (dropDuplicatesWithinWatermark):
+    a replayed key WITHIN the watermark horizon is suppressed; a key
+    re-occurring after its state was evicted is re-emitted. That eviction
+    is exactly what keeps state O(keys-per-horizon) on an eternal stream
+    instead of O(all keys ever seen)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from marie_icr_spark.streaming.pipeline import stream_dedup_turns
+
+    base = str(tmp_path_factory.mktemp("dedup_wm"))
+    inp = f"{base}/in"
+    os.makedirs(inp)
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    t10h = t0 + dt.timedelta(hours=10)
+
+    def write_file(rows, name, mtime):
+        tmp = f"{base}/tmp_{name}"
+        spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{inp}/{name}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    # batch A: key (c1,0) at t0; an in-batch duplicate key (c3,1); a row at
+    # t0+10h that advances the watermark far past c1's eviction point
+    write_file(
+        [
+            ("c1", 0, "user", "a", None, t0),
+            ("c3", 1, "user", "b", None, t0 + dt.timedelta(minutes=5)),
+            ("c3", 1, "user", "b", None, t0 + dt.timedelta(minutes=6)),
+            ("c2", 0, "user", "c", None, t10h),
+        ],
+        "a", 1_000_000_000,
+    )
+    # batch B (mtime order + maxFilesPerTrigger=1): (c2,0) replays within
+    # the horizon → suppressed. State eviction runs at END of this batch
+    # (watermark t0+9h passed c1's t0+1h expiration), so...
+    write_file(
+        [
+            ("c2", 0, "user", "c", None, t10h),
+        ],
+        "b", 1_000_000_100,
+    )
+    # ...batch C: (c1,0) re-occurs AFTER eviction → re-emitted
+    write_file(
+        [
+            ("c1", 0, "user", "a", None, t10h),
+        ],
+        "c", 1_000_000_200,
+    )
+
+    q, sink = stream_dedup_turns(
+        spark, inp, f"{base}/ckpt", available_now=True,
+        max_files_per_trigger=1, sink_name="dd_wm_sink", watermark="1 hour",
+    )
+    q.awaitTermination(120)
+    counts = (
+        spark.table(sink)
+        .groupBy("conv_id", "turn_idx")
+        .count()
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])["count"]
+        .to_dict()
+    )
+    assert counts == {("c1", 0): 2, ("c2", 0): 1, ("c3", 1): 1}
