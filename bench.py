@@ -90,10 +90,15 @@ def run_bench(spark, sf_dir: str, replicate: int) -> dict:
         .agg(F.sum("turn_count"), F.max(F.length("conversation_text")))
         .collect(),
     )
-    # q3: payload-kind aggregate (hash agg over extraction)
+    # q3: payload-kind aggregate (hash agg over extraction); the explicit
+    # output projection keeps the corpus-sized extracted_text column from
+    # ever crossing the Arrow boundary (Catalyst can't prune through
+    # mapInArrow on its own)
     timed(
         "kind_counts",
-        lambda: extract_turns(transcripts)
+        lambda: extract_turns(
+            transcripts, columns=("payload_kind", "span_count")
+        )
         .groupBy("payload_kind")
         .agg(F.sum("span_count"))
         .collect(),

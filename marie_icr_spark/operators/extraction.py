@@ -121,8 +121,13 @@ def _line_tuples(lines: list[dict]) -> list[tuple]:
 
 
 def _extract_batches(
-    batches: Iterator[pa.RecordBatch], with_structs: bool, mode: str
+    batches: Iterator[pa.RecordBatch],
+    with_structs: bool,
+    mode: str,
+    columns: tuple[str, ...] | None = None,
 ) -> Iterator[pa.RecordBatch]:
+    want = (lambda c: True) if columns is None else (set(columns).__contains__)
+    need_text = want("extracted_text")
     for rb in batches:
         names = rb.schema.names
         texts = rb.column(names.index("text")).to_pylist()
@@ -131,30 +136,41 @@ def _extract_batches(
         for t in texts:
             r = extract_turn(t, mode=mode, with_structs=with_structs)
             kinds.append(r.payload_kind)
-            outs.append(r.extracted_text)
+            if need_text:
+                outs.append(r.extracted_text)
             spans.append(r.span_count)
             if with_structs:
                 words.append(_word_tuples(r.words))
                 lines.append(_line_tuples(r.lines))
         # passthrough columns are forwarded as the arrays they arrived in —
         # no pandas roundtrip, no copy
-        arrays = [rb.column(names.index(c)) for c in _PASSTHROUGH]
-        arrays += [
-            pa.array(kinds, pa.string()),
-            pa.array(outs, pa.string()),
-            pa.array(spans, pa.int32()),
+        arrays = [
+            rb.column(names.index(c)) for c in _PASSTHROUGH if want(c)
         ]
-        out_names = list(_PASSTHROUGH) + [
-            "payload_kind", "extracted_text", "span_count",
-        ]
+        out_names = [c for c in _PASSTHROUGH if want(c)]
+        for nm, arr, typ in (
+            ("payload_kind", kinds, pa.string()),
+            ("extracted_text", outs, pa.string()),
+            ("span_count", spans, pa.int32()),
+        ):
+            if want(nm):
+                arrays.append(pa.array(arr, typ))
+                out_names.append(nm)
         if with_structs:
-            arrays += [pa.array(words, _WORD_PA), pa.array(lines, _LINE_PA)]
-            out_names += ["words", "lines"]
+            for nm, arr, typ in (
+                ("words", words, _WORD_PA), ("lines", lines, _LINE_PA),
+            ):
+                if want(nm):
+                    arrays.append(pa.array(arr, typ))
+                    out_names.append(nm)
         yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
 
 def extract_turns(
-    df: DataFrame, with_structs: bool = False, mode: str = "sparse"
+    df: DataFrame,
+    with_structs: bool = False,
+    mode: str = "sparse",
+    columns: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Run main-content extraction over a transcript DataFrame.
 
@@ -164,11 +180,33 @@ def extract_turns(
     ``mode`` = PSM contract for layout payloads (extractors.layout.PSM_MODES,
     honored per call as the reference honors it per region,
     marie/ocr/ocr_engine.py:319-322).
+
+    ``columns``: optional OUTPUT projection. Catalyst cannot prune columns
+    through an opaque ``mapInArrow``, so an aggregate that only needs
+    (payload_kind, span_count) would otherwise pay for (a) scanning every
+    passthrough column off parquet and (b) shipping a corpus-sized
+    ``extracted_text`` Arrow string column to the JVM just to drop it.
+    Passing the needed subset pushes the projection through BOTH sides of
+    the boundary: unused passthroughs never leave the scan (ReadSchema
+    shrinks to ``text`` alone in the extreme), and unwanted outputs are
+    never built. Order is canonical (schema order), not caller order.
     """
     schema = EXTRACTED_FULL_SCHEMA if with_structs else EXTRACTED_SCHEMA
-    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    if columns is not None:
+        unknown = set(columns) - {f.name for f in schema.fields}
+        if unknown:
+            raise ValueError(
+                f"extract_turns columns not in output schema: {sorted(unknown)}"
+            )
+        schema = T.StructType(
+            [f for f in schema.fields if f.name in set(columns)]
+        )
+        cols = ["text"] + [c for c in _PASSTHROUGH if c in set(columns)]
+    else:
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     return df.select(*cols).mapInArrow(
-        lambda it: _extract_batches(it, with_structs, mode), schema=schema
+        lambda it: _extract_batches(it, with_structs, mode, columns),
+        schema=schema,
     )
 
 

@@ -40,8 +40,10 @@ ORACLE_EXTRACT_TURNS = (
 def q_extract_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload-kind routing check (engine-selection parity, SURVEY §2.8 B12)."""
     t = transcripts_from_docs(spark, sf_dir)
+    # projection pushed through the mapInArrow boundary: the scan reads only
+    # `text`, and the corpus-sized extracted_text column is never built
     return (
-        extract_turns(t)
+        extract_turns(t, columns=("payload_kind", "span_count"))
         .groupBy("payload_kind")
         .agg(
             F.count(F.lit(1)).alias("turn_count"),

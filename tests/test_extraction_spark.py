@@ -129,3 +129,60 @@ def test_dedup_quoted_context(spark):
     assert out[("c", 2)]["deduped_text"] == "fresh"
     assert out[("c", 2)]["dropped_lines"] == 2
     assert out[("d", 0)]["deduped_text"] == "how are you"
+
+
+def test_extract_turns_column_projection(spark, synth):
+    """columns= pushes the projection through the mapInArrow boundary:
+    results equal the full output projected, the parquet-side select
+    shrinks to `text` alone, and unknown names fail loudly."""
+    sdf, tdf, gdf = synth
+    pruned = extract_turns(sdf, columns=("payload_kind", "span_count"))
+    assert [f.name for f in pruned.schema.fields] == [
+        "payload_kind", "span_count",
+    ]
+    full = (
+        extract_turns(sdf)
+        .groupBy("payload_kind")
+        .agg(F.sum("span_count").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    lean = (
+        pruned.groupBy("payload_kind")
+        .agg(F.sum("span_count").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, lean.collect())
+    )
+    # the input side prunes to `text` alone: with a LocalRelation input the
+    # optimizer folds the projection straight into the relation...
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    child = plan.split("\n+- ", 1)[1]
+    assert "text#" in child
+    for c in ("conv_id", "turn_idx", "role", "tool", "ts"):
+        assert f"{c}#" not in child, (c, child)
+
+    # keyed projection keeps passthroughs that were asked for
+    keyed = extract_turns(sdf, columns=("conv_id", "turn_idx", "span_count"))
+    assert [f.name for f in keyed.schema.fields] == [
+        "conv_id", "turn_idx", "span_count",
+    ]
+    assert keyed.count() == len(gdf)
+
+    with pytest.raises(ValueError, match="not in output schema"):
+        extract_turns(sdf, columns=("nope",))
+    # ...and with a parquet input the scan itself shrinks (the 100-TB
+    # property: passthrough columns never leave the parquet reader)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sdf.write.mode("overwrite").parquet(f"{d}/t")
+        scan = extract_turns(
+            spark.read.parquet(f"{d}/t"),
+            columns=("payload_kind", "span_count"),
+        )
+        phys = scan._jdf.queryExecution().executedPlan().toString()
+        rs = phys.split("ReadSchema: ")[1].splitlines()[0]
+        assert "text" in rs and "conv_id" not in rs and "ts" not in rs, rs
+    # struct projection: words without lines
+    w = extract_turns(sdf, with_structs=True, columns=("payload_kind", "words"))
+    assert [f.name for f in w.schema.fields] == ["payload_kind", "words"]
+    assert w.filter(F.col("payload_kind") == "layout").limit(1).collect()
