@@ -3360,3 +3360,161 @@ FROM t GROUP BY 1
 
 EXT_QUERIES["length_histogram"] = q_length_histogram
 EXT_ORACLES["length_histogram"] = ORACLE_LENGTH_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-grade inference (N1/N3 depth): file-driven subword tokenization,
+# max_length/stride sliding windows, linear head per window — the Spark twin
+# of the reference's tokenize→window→model loop
+# (marie/executor/ner/ner_extraction_executor.py:192-374). The oracle replays
+# the greedy longest-match tokenization from the SAME vocab file via a
+# recursive CTE, the window math in integer SQL, and the head as a
+# VALUES-join matmul (same pattern as ORACLE_CLASSIFY_NUMPY).
+# ---------------------------------------------------------------------------
+
+# query-time window params: small enough that sf0.01 documents (~50-100
+# words → ~100-200 pieces) produce MULTI-window docs, so the stride/overlap
+# contract is actually exercised by the driver gate; the operator defaults
+# stay at the reference's 512/128
+_SW_MAX_LENGTH = 64
+_SW_STRIDE = 16
+
+
+def q_classify_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.inference import default_weights_path
+    from .operators.tokenizer import tokenize_windows
+
+    return tokenize_windows(
+        _docs(spark, sf_dir),
+        max_length=_SW_MAX_LENGTH,
+        stride=_SW_STRIDE,
+        weights_path=default_weights_path(),
+    ).select(
+        "doc_id", "window_idx", "n_windows", "n_tokens", "window_fp",
+        "label", "score", "raw_best", "raw_total",
+    )
+
+
+def _subword_oracle_sql() -> str:
+    import json
+
+    from .extractors.subword import (
+        HASH_P,
+        UNK_ID,
+        default_vocab_path,
+        load_vocab,
+    )
+    from .operators.inference import default_weights_path
+
+    vocab = load_vocab(default_vocab_path())
+    vvals = ", ".join(
+        f"('{p[2:] if p.startswith('##') else p}', "
+        f"{1 if p.startswith('##') else 0}, {i})"
+        for p, i in sorted(vocab.items(), key=lambda kv: kv[1])
+        if not (p.startswith("[") and p.endswith("]"))
+    )
+    with open(default_weights_path()) as f:
+        spec = json.load(f)
+    labels = sorted(spec["labels"])
+    nb = int(spec["vocab_buckets"])
+    wvals = ", ".join(
+        f"('{lb}', {b}, {w})"
+        for lb in labels
+        for b, w in enumerate(spec["weights"][lb])
+    )
+    bvals = ", ".join(f"('{lb}', {spec['bias'][lb]})" for lb in labels)
+    toks = _TOKENS_SQL.format(e="text")
+    c = _SW_MAX_LENGTH - 2
+    step = c - _SW_STRIDE
+    return f"""
+WITH RECURSIVE
+vocab AS (SELECT * FROM (VALUES {vvals}) AS t(m, cont, id)),
+wt AS (SELECT * FROM (VALUES {wvals}) AS t(l, b, w)),
+bs AS (SELECT * FROM (VALUES {bvals}) AS t(l, bv)),
+words AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi
+  FROM (SELECT doc_id, {toks} AS ws FROM documents)
+),
+dw AS (SELECT DISTINCT w FROM words WHERE length(w) > 0),
+-- greedy longest-match per DISTINCT word: each step consumes the longest
+-- vocab piece matching at pos (word-initial vs ##-continuation), or [UNK]
+-- over one char when nothing matches
+tok AS (
+  SELECT w, 0 AS pos, 0 AS stp, CAST(NULL AS INTEGER) AS pid FROM dw
+  UNION ALL
+  SELECT w, pos + CAST(coalesce(m.l, 1) AS INTEGER), stp + 1,
+         CAST(coalesce(m.i, {UNK_ID}) AS INTEGER)
+  FROM (
+    SELECT t.w, t.pos, t.stp,
+      (SELECT {{'i': v.id, 'l': length(v.m)}}
+       FROM vocab v
+       WHERE v.cont = (CASE WHEN t.pos > 0 THEN 1 ELSE 0 END)
+         AND substr(t.w, t.pos + 1, length(v.m)) = v.m
+       ORDER BY length(v.m) DESC, v.id ASC LIMIT 1) AS m
+    FROM tok t WHERE t.pos < length(t.w)
+  )
+),
+pieces AS (SELECT w, stp, pid FROM tok WHERE stp >= 1),
+toks AS (
+  SELECT ws.doc_id,
+         row_number() OVER (PARTITION BY ws.doc_id
+                            ORDER BY ws.wi, p.stp) - 1 AS i,
+         p.pid
+  FROM words ws JOIN pieces p USING (w)
+),
+nn AS (
+  SELECT doc_id, COUNT(*) AS n,
+         CASE WHEN COUNT(*) <= {c} THEN 1
+              ELSE CAST((COUNT(*) - {c} + {step} - 1) // {step} AS BIGINT) + 1
+         END AS nw
+  FROM toks GROUP BY doc_id
+),
+-- token i belongs to windows k in [max(0, ceil((i-C+1)/step)), min(i//step, nw-1)]
+wk AS (
+  SELECT t.doc_id, t.i, t.pid,
+         CAST(unnest(range(
+           CASE WHEN t.i < {c} THEN 0
+                ELSE CAST((t.i - {c} + {step}) // {step} AS BIGINT) END,
+           least(CAST(t.i // {step} AS BIGINT), nn.nw - 1) + 1
+         )) AS INTEGER) AS k
+  FROM toks t JOIN nn USING (doc_id)
+),
+win AS (
+  SELECT wk.doc_id, wk.k, nn.nw, COUNT(*) AS n_tokens,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list(CAST(wk.pid AS BIGINT) ORDER BY wk.i)),
+           (a, b) -> (a * 257 + b + 1) % {HASH_P}
+         ) AS window_fp
+  FROM wk JOIN nn USING (doc_id)
+  GROUP BY wk.doc_id, wk.k, nn.nw
+),
+raws AS (
+  SELECT s.doc_id, s.k, s.l, s.sw + bs.bv AS raw
+  FROM (SELECT wk.doc_id, wk.k, wt.l, SUM(wt.w) AS sw
+        FROM wk JOIN wt ON wt.b = wk.pid % {nb}
+        GROUP BY 1, 2, 3) s
+  JOIN bs ON s.l = bs.l
+),
+rk AS (
+  SELECT doc_id, k, l, raw,
+         SUM(raw) OVER (PARTITION BY doc_id, k) AS tot,
+         row_number() OVER (PARTITION BY doc_id, k
+                            ORDER BY raw DESC, l ASC) AS rn
+  FROM raws
+)
+SELECT w.doc_id, CAST(w.k AS INTEGER) AS window_idx,
+       CAST(w.nw AS INTEGER) AS n_windows,
+       CAST(w.n_tokens AS INTEGER) AS n_tokens,
+       CAST(w.window_fp AS BIGINT) AS window_fp,
+       r.l AS "label",
+       (floor(r.raw / r.tot * 1000000.0 + 0.5) / 1000000.0) AS score,
+       CAST(r.raw AS BIGINT) AS raw_best, CAST(r.tot AS BIGINT) AS raw_total
+FROM win w JOIN rk r ON r.doc_id = w.doc_id AND r.k = w.k AND r.rn = 1
+"""
+
+
+ORACLE_CLASSIFY_SUBWORD = _subword_oracle_sql()
+
+EXT_QUERIES["classify_subword"] = q_classify_subword
+EXT_ORACLES["classify_subword"] = ORACLE_CLASSIFY_SUBWORD
