@@ -871,3 +871,94 @@ def test_commit_table_concurrent_writers_cas_retry(
         for r in M.read_results(spark, out).collect()
     )
     assert got2 == got
+
+
+def test_compact_carries_forward_concurrent_epoch(
+    spark, sdf, tmp_path_factory, monkeypatch
+):
+    """A streaming epoch committed WHILE compaction runs (after its scan,
+    before its CAS) must not be lost: the compactor's CAS conflicts, it
+    retries on fresh state, and the final manifest holds the compacted
+    plain keys PLUS the new epoch's keys."""
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.operators.extraction import extract_turns
+
+    out = str(tmp_path_factory.mktemp("compact_race_fwd"))
+    _two_epoch_table(spark, sdf, out)
+    before = _collect_sorted(spark, out)
+
+    batch = extract_turns(sdf)
+    third = batch.filter(F.col("turn_idx") == 0)
+    n_third = third.count()
+
+    real = M._commit_manifest
+    state = {"injected": False, "calls": 0}
+
+    def racing(output_dir, base, updates):
+        state["calls"] += 1
+        if not state["injected"]:
+            state["injected"] = True
+            monkeypatch.setattr(M, "_commit_manifest", real)
+            M.commit_stream_batch(third, 2, out, n_buckets=N_BUCKETS)
+            monkeypatch.setattr(M, "_commit_manifest", racing)
+        return real(output_dir, base, updates)
+
+    monkeypatch.setattr(M, "_commit_manifest", racing)
+    m = M.compact(spark, out)
+    monkeypatch.setattr(M, "_commit_manifest", real)
+
+    # compactor CAS (conflict) + its retry = 2 patched calls
+    assert state["injected"] and state["calls"] == 2
+    keys = set(m["buckets"])
+    assert {k for k in keys if k.startswith("2/")}, "new epoch lost"
+    assert {k for k in keys if "/" not in k}, "compacted keys missing"
+    assert {k.split("/")[0] for k in keys if "/" in k} == {"2"}
+    got = M.read_results(spark, out)
+    assert got.count() == len(before) + n_third
+
+
+def test_compact_aborts_when_merged_key_replaced(
+    spark, sdf, tmp_path_factory, monkeypatch
+):
+    """If a merged key is REPLACED mid-compaction (an epoch replay pointing
+    it at a fresh run dir), the compactor's rewrite no longer reflects the
+    table: it must abort, leave CURRENT at the replayer's version, and its
+    run dir must be vacuumable."""
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.operators.extraction import extract_turns
+
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("compact_race_abort"))
+    _two_epoch_table(spark, sdf, out)
+    before = _collect_sorted(spark, out)
+
+    batch = extract_turns(sdf)
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    real = M._commit_manifest
+    state = {"injected": False}
+
+    def racing(output_dir, base, updates):
+        if not state["injected"]:
+            state["injected"] = True
+            monkeypatch.setattr(M, "_commit_manifest", real)
+            # replayed epoch 1: SAME keys, fresh run dir
+            M.commit_stream_batch(
+                batch.filter(~half), 1, out, n_buckets=N_BUCKETS
+            )
+            monkeypatch.setattr(M, "_commit_manifest", racing)
+        return real(output_dir, base, updates)
+
+    monkeypatch.setattr(M, "_commit_manifest", racing)
+    with pytest.raises(M.CompactionIntegrityError, match="changed during"):
+        M.compact(spark, out)
+    monkeypatch.setattr(M, "_commit_manifest", real)
+
+    assert state["injected"]
+    # rows are exactly the (replayed) table; the compactor's dir is orphaned
+    pd.testing.assert_frame_equal(before, _collect_sorted(spark, out))
+    removed = M.vacuum(out)
+    assert any("compact-v" in p for p in removed)
+    pd.testing.assert_frame_equal(before, _collect_sorted(spark, out))
