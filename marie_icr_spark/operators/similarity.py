@@ -81,36 +81,42 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
 
 
-def _table_bucket(table: int):
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.array(*[F.lit(c) for c in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            >= 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i, plane in enumerate(HYPERPLANES[table])
-    ]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return total
+def _buckets_udf():
+    """Vectorized (Arrow-batched numpy) twin of the per-table bucket
+    expression: one [batch, D] @ [D, L·P] integer matmul replaces
+    L·P interpreted `aggregate(zip_with(...))` Catalyst expressions per
+    row (~2k literal nodes and tens of µs per element interpreted — the
+    same hotspot class the shingle UDF removed from the dedup path).
+    Identical integer math, so the DuckDB oracle twin
+    (queries_ext._lsh_bucket_exprs) is unchanged."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    hmat = np.array(HYPERPLANES, dtype=np.int64).reshape(
+        LSH_TABLES * LSH_PLANES, EMB_DIM
+    )
+    pow2 = 1 << np.arange(LSH_PLANES, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(q):
+        if not len(q):
+            return pd.Series([], dtype=object)
+        mat = np.vstack(q.to_numpy()).astype(np.int64)  # [n, D]
+        bits = (mat @ hmat.T >= 0).astype(np.int64)     # [n, L*P]
+        vals = bits.reshape(len(q), LSH_TABLES, LSH_PLANES) @ pow2  # [n, L]
+        return pd.Series(list(vals))
+
+    return buckets
 
 
 def lsh_bucket(emb: DataFrame) -> DataFrame:
     """Random-hyperplane signature buckets per vector, one per LSH table
     (the ANN index keys). Output: input + (buckets array<long> len L)."""
     qn = quantize(emb)
-    return qn.withColumn(
-        "buckets", F.array(*[_table_bucket(t) for t in range(LSH_TABLES)])
-    )
+    return qn.withColumn("buckets", _buckets_udf()(F.col("q")))
 
 
 def lsh_index(emb: DataFrame) -> DataFrame:

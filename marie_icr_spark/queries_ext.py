@@ -382,8 +382,7 @@ def _lsh_bucket_exprs(qcol: str = "q") -> list:
         for i, plane in enumerate(HYPERPLANES[t]):
             lit = "[" + ",".join(str(c) for c in plane) + "]"
             dot = (
-                f"list_sum(list_transform(range(64), "
-                f"j -> {qcol}[j+1] * ({lit})[j+1]))"
+                f"list_dot_product({qcol}, {lit})"
             )
             bits.append(
                 f"(CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
@@ -411,13 +410,13 @@ pe AS (
 
 
 _COS_PAIR_SQL = (
-    "(floor((list_sum(list_transform(range(64), i -> na.q[i+1] * nb.q[i+1]))"
+    "(floor((list_dot_product(na.q, nb.q)"
     " / (sqrt(na.nrm) * sqrt(nb.nrm))) * 1000000.0 + 0.5) / 1000000.0)"
 )
 
 ORACLE_EMB_NEAR_DUP = f"""
 WITH q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings),
-n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm FROM q),
+n AS (SELECT vec_id, q, list_dot_product(q, q) nrm FROM q),
 {_lsh_index_sql()},
 small AS (SELECT tbl, bucket FROM pe GROUP BY 1, 2
           HAVING COUNT(*) <= {MAX_BUCKET_SIZE}),
@@ -438,10 +437,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ANN_COSINE_TOPK = f"""
 WITH q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings),
-n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm FROM q),
+n AS (SELECT vec_id, q, list_dot_product(q, q) nrm FROM q),
 qq AS (SELECT * FROM n ORDER BY vec_id LIMIT 1)
 SELECT n.vec_id,
-       (floor((list_sum(list_transform(range(64), i -> n.q[i+1] * qq.q[i+1])) / (sqrt(n.nrm) * sqrt(qq.nrm))) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+       (floor((list_dot_product(n.q, qq.q) / (sqrt(n.nrm) * sqrt(qq.nrm))) * 1000000.0 + 0.5) / 1000000.0) AS cosine
 FROM n, qq WHERE n.vec_id != qq.vec_id
 ORDER BY cosine DESC, n.vec_id ASC LIMIT 10
 """
@@ -1225,8 +1224,7 @@ def _lsh_bucket_oracle_sql() -> str:
         for i, plane in enumerate(HYPERPLANES[t]):
             lit = "[" + ",".join(str(c) for c in plane) + "]"
             dot = (
-                f"list_sum(list_transform(range(64), "
-                f"j -> q[j+1] * ({lit})[j+1]))"
+                f"list_dot_product(q, {lit})"
             )
             bits.append(f"(CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
         cols.append("(" + " + ".join(bits) + f") AS b{t}")
@@ -1271,12 +1269,12 @@ def _ann_batch_oracle_sql() -> str:
         ["pe.bucket"] + [f"xor(pe.bucket, {1 << i})" for i in range(LSH_PLANES)]
     )
     cos = (
-        "(floor((list_sum(list_transform(range(64), i -> na.q[i+1] * nb.q[i+1]))"
+        "(floor((list_dot_product(na.q, nb.q)"
         " / (sqrt(na.nrm) * sqrt(nb.nrm))) * 1000000.0 + 0.5) / 1000000.0)"
     )
     return f"""
 WITH q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings),
-n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm FROM q),
+n AS (SELECT vec_id, q, list_dot_product(q, q) nrm FROM q),
 {_lsh_index_sql()},
 qs AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_ANN_BATCH_NQ}),
 probes AS (SELECT pe.vec_id query_id, pe.tbl,
@@ -2365,17 +2363,20 @@ def _ivf_oracle_sql() -> str:
     iteration count, matching ivf_fit."""
     from .operators.similarity import IVF_ITERS, IVF_K, IVF_NPROBE
 
+    # ||a-b||² = a·a − 2 a·b + b·b over native dots: every term is an
+    # integer-valued double < 2^53, so the expansion is EXACTLY the lambda
+    # sum-of-squares it replaces (and ~50× faster than per-element lambdas)
     d2 = (
-        "list_sum(list_transform(range(64), "
-        "i -> (nq.q[i+1] - c.cq[i+1]) * (nq.q[i+1] - c.cq[i+1])))"
+        "(list_dot_product(nq.q, nq.q) - 2 * list_dot_product(nq.q, c.cq)"
+        " + list_dot_product(c.cq, c.cq))"
     )
     cos = (
-        "(floor((list_sum(list_transform(range(64), i -> na.q[i+1] * nb.q[i+1]))"
+        "(floor((list_dot_product(na.q, nb.q)"
         " / (sqrt(na.nrm) * sqrt(nb.nrm))) * 1000000.0 + 0.5) / 1000000.0)"
     )
     ctes = [
         f"q AS (SELECT vec_id, {_Q_SQL} q FROM embeddings)",
-        "n AS (SELECT vec_id, q, list_sum(list_transform(q, v -> v * v)) nrm"
+        "n AS (SELECT vec_id, q, list_dot_product(q, q) nrm"
         " FROM q)",
         "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)"
         " cid, q cq"

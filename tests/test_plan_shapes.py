@@ -71,8 +71,8 @@ def test_corpus_pipeline_equi_joins_only(spark):
 
 
 def test_decontaminate_no_cartesian(spark):
-    import __spark_entry__ as E
+    from marie_icr_spark.queries import ALL_QUERIES
 
-    plan = _plan(E.queries()["decontaminate"](spark, SF_DIR))
+    plan = _plan(ALL_QUERIES["decontaminate"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
