@@ -189,20 +189,45 @@ def jaccard_pairs(
     )
 
 
+def _minhash_sig_udf():
+    """Vectorized (Arrow-batched numpy) MinHash signature over the shingle
+    array: one [K,1]·[1,m] broadcast matmul-min per row replaces K
+    interpreted ``array_min(transform(...))`` Catalyst lambdas (the same
+    hotspot class the shingle UDF removed). Identical integer math —
+    ``portable_hash31_py`` is the pinned twin of the Column hash, and
+    (a·h+b) stays < 2^62 in int64 — so the DuckDB oracle is unchanged."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from .inference import portable_hash31_py
+
+    a = np.array(MINHASH_A, dtype=np.int64)[:, None]  # [K, 1]
+    b = np.array(MINHASH_B, dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(sh):
+        out = []
+        for lst in sh:
+            if lst is None or len(lst) == 0:
+                out.append(None)
+                continue
+            h = np.fromiter(
+                (portable_hash31_py(s) for s in lst),
+                dtype=np.int64,
+                count=len(lst),
+            )
+            out.append(((a * h + b) % HASH_P).min(axis=1))
+        return pd.Series(out)
+
+    return sig
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
     """MinHash signature array (length MINHASH_K) per document."""
     sets_ = shingle_sets(df, id_col, text_col, n)
-    base = F.transform(F.col("sh"), lambda s: portable_hash31(s))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
-            ).alias(f"m{i}")
-            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ]
-    )
-    return sets_.select("did", F.when(F.size("sh") > 0, sig).alias("sig"), "sh")
+    return sets_.select("did", _minhash_sig_udf()(F.col("sh")).alias("sig"),
+                        "sh")
 
 
 def minhash_lsh_pairs(
