@@ -36,7 +36,7 @@ Pinned contract (both engines):
 
 from __future__ import annotations
 
-import hashlib
+import re
 from dataclasses import dataclass
 
 HASH_P = 2_147_483_647  # 2^31 - 1, same modulus as functions.columns
@@ -47,10 +47,11 @@ PAD_ID, UNK_ID, CLS_ID, SEP_ID = 0, 1, 2, 3
 MAX_LENGTH = 512  # reference contract (ner_extraction_executor.py:192-374)
 STRIDE = 128
 
-
-def portable_hash31_py(s: str) -> int:
-    """Python twin of functions.columns.portable_hash31 (md5 hex[:15] mod P)."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % HASH_P
+# the pinned whitespace contract (same as dedup._py_shingle_list): strip
+# SPACES only (Spark trim / DuckDB trim default), collapse Java/RE2 ASCII
+# \s runs — NOT Python's unicode-aware str.split(), which would split on
+# \xa0 etc. and diverge from the oracle's _TOKENS_SQL
+_ASCII_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def load_vocab(path: str) -> dict[str, int]:
@@ -116,7 +117,7 @@ class WordPieceTokenizer:
         the F5 first-subword filter consumes)."""
         ids: list[int] = []
         word_ids: list[int] = []
-        words = " ".join((text or "").split()).split(" ")
+        words = _ASCII_WS.sub(" ", (text or "").strip(" ")).split(" ")
         for wi, w in enumerate(words):
             for pid in self.encode_word(w):
                 ids.append(pid)

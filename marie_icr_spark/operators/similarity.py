@@ -100,14 +100,31 @@ def _buckets_udf():
     )
     pow2 = 1 << np.arange(LSH_PLANES, dtype=np.int64)
 
+    zeros = np.zeros(LSH_TABLES, dtype=np.int64)
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def buckets(q):
         if not len(q):
             return pd.Series([], dtype=object)
-        mat = np.vstack(q.to_numpy()).astype(np.int64)  # [n, D]
-        bits = (mat @ hmat.T >= 0).astype(np.int64)     # [n, L*P]
-        vals = bits.reshape(len(q), LSH_TABLES, LSH_PLANES) @ pow2  # [n, L]
-        return pd.Series(list(vals))
+        vecs = q.to_numpy()
+        # NULL / wrong-dimension vectors: the replaced Column expression
+        # yielded all-zero buckets for them (null dot → bit 0), not an
+        # executor crash — keep that degradation
+        ok = np.fromiter(
+            (v is not None and len(v) == EMB_DIM for v in vecs),
+            dtype=bool,
+            count=len(vecs),
+        )
+        out = np.empty(len(vecs), dtype=object)
+        if ok.any():
+            mat = np.vstack(vecs[ok]).astype(np.int64)   # [m, D]
+            bits = (mat @ hmat.T >= 0).astype(np.int64)  # [m, L*P]
+            vals = bits.reshape(-1, LSH_TABLES, LSH_PLANES) @ pow2
+            for i, v in zip(np.flatnonzero(ok), vals):
+                out[i] = v
+        for i in np.flatnonzero(~ok):
+            out[i] = zeros
+        return pd.Series(out)
 
     return buckets
 

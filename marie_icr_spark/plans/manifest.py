@@ -173,7 +173,7 @@ def _commit_manifest(output_dir: str, base: dict, updates: dict) -> dict:
         "version": new_version,
         "buckets": {**base.get("buckets", {}), **updates},
     }
-    for extra in ("stats", "schema", "origin"):
+    for extra in ("stats", "schema", "origin", "n_buckets"):
         if base.get(extra):
             manifest[extra] = base[extra]
     path = _manifest_path(output_dir, new_version)
@@ -483,6 +483,7 @@ def compact(
         "buckets": {k: e for k, e in m["buckets"].items() if k not in merged},
         "stats": m.get("stats"),
         "schema": m.get("schema"),
+        "n_buckets": m.get("n_buckets"),
         # keep the writer family across the rewrite (a compacted streaming
         # catalog must still refuse batch writers, and vice versa); infer
         # it for pre-origin manifests while the epoch keys still show it
@@ -510,6 +511,7 @@ def compact(
                 },
                 "stats": fresh.get("stats"),
                 "schema": fresh.get("schema"),
+                "n_buckets": fresh.get("n_buckets"),
                 "origin": _catalog_origin(fresh),
             }
 
@@ -532,10 +534,16 @@ def vacuum(
       CURRENT (and every run dir any of them references), so time travel
       via ``load_manifest(version=...)`` / ``read_results(version=...)``
       keeps working over that window. Default 0 = only CURRENT survives.
-    * ``min_age_seconds`` skips anything modified more recently — the
-      grace period that protects an in-flight writer's not-yet-published
-      run dir (and freshly superseded data a slow reader may still be
-      scanning) from a concurrent vacuum. Default 0 = age-blind.
+    * ``min_age_seconds`` is the grace period. It protects (a) a version
+      SUPERSEDED less than that long ago — judged by the mtime of its
+      SUCCESSOR manifest file, i.e. the moment readers could last have
+      loaded it as CURRENT — together with every run dir it references
+      (the slow-reader guarantee: a reader that loaded CURRENT within the
+      window can finish its scan), and (b) any run dir or temp file whose
+      NEWEST content is younger than the window (the in-flight-writer
+      guarantee: a long parquet write keeps touching files, so its
+      unpublished dir stays protected however long the write runs).
+      Default 0 = age-blind.
 
     Runs the roll-forward FIRST: a dead writer's unpublished-but-complete
     manifest must become CURRENT before liveness is computed — otherwise
@@ -549,10 +557,29 @@ def vacuum(
     removed: list[str] = []
     cur = current_version(output_dir)
     oldest_kept = max(1, cur - max(0, int(keep_versions)))
+    cutoff = time.time() - max(0.0, min_age_seconds)
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= cutoff
+        except OSError:
+            return False  # vanished or unreadable: leave it alone
+
+    def _superseded_before_cutoff(v: int) -> bool:
+        # version v stopped being CURRENT the moment v+1 was published;
+        # that successor file's mtime IS the supersede time
+        try:
+            return os.path.getmtime(_manifest_path(output_dir, v + 1)) <= cutoff
+        except OSError:
+            return True  # successor already expired → superseded long ago
+
+    keep = {
+        v
+        for v in range(1, cur + 1)
+        if v >= oldest_kept or not _superseded_before_cutoff(v)
+    }
     live: set[str] = set()
-    for v in range(oldest_kept, cur + 1):
-        if v == 0:
-            continue
+    for v in sorted(keep):
         try:
             m = load_manifest(output_dir, v)
         except FileNotFoundError:
@@ -562,19 +589,27 @@ def vacuum(
             for e in m["buckets"].values()
             if e["run_id"] is not None
         }
-    cutoff = time.time() - max(0.0, min_age_seconds)
 
-    def _old_enough(path: str) -> bool:
+    def _tree_old_enough(path: str) -> bool:
+        # in-flight-writer guard: judge a run dir by its NEWEST entry (the
+        # top-level dir mtime goes stale while parquet files are still
+        # being written underneath it)
         try:
-            return os.path.getmtime(path) <= cutoff
+            newest = os.path.getmtime(path)
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(root, f))
+                    )
+            return newest <= cutoff
         except OSError:
-            return False  # vanished or unreadable: leave it alone
+            return False
 
     data = os.path.join(output_dir, "data")
     if os.path.isdir(data):
         for rid in sorted(os.listdir(data)):
             p = os.path.join(data, rid)
-            if rid not in live and _old_enough(p):
+            if rid not in live and _tree_old_enough(p):
                 shutil.rmtree(p)
                 removed.append(p)
     cdir = _commit_dir(output_dir)
@@ -598,7 +633,7 @@ def vacuum(
                     removed.append(p)
                 continue
             v = int(name[len("manifest-v"):-len(".json")])
-            if v < oldest_kept and _old_enough(p):
+            if v not in keep:
                 os.remove(p)
                 removed.append(p)
     return removed
@@ -647,6 +682,33 @@ def run_extraction_job_atomic(
             "catalog contains streaming epoch-scoped commits; run "
             "compact() first to collapse it to a plain bucket layout"
         )
+    prev_n = manifest.get("n_buckets")
+    if prev_n is not None and int(prev_n) != int(n_buckets):
+        # a different bucket layout does NOT supersede key-by-key: rows
+        # re-hash mod the new count, so live keys from the old layout stay
+        # visible next to the re-hashed rows (double emission). Refuse.
+        raise ValueError(
+            f"catalog at {output_dir} was committed with n_buckets="
+            f"{prev_n}; this job uses n_buckets={n_buckets} — layouts "
+            "don't mix (re-run with the recorded layout, or "
+            "vacuum/recreate the table)"
+        )
+    if prev_n is None:
+        # legacy manifest without the recorded layout: infer the hazard
+        # from live plain keys outside this job's bucket range
+        stale = sorted(
+            int(k)
+            for k, e in manifest["buckets"].items()
+            if e["run_id"] is not None and int(k) >= n_buckets
+        )
+        if stale:
+            raise ValueError(
+                f"catalog has live buckets {stale} outside this job's "
+                f"n_buckets={n_buckets}; they would stay visible next to "
+                "the re-hashed rows (double emission) — use a matching "
+                "layout or vacuum/recreate the table"
+            )
+    manifest["n_buckets"] = int(n_buckets)
     manifest["origin"] = "batch"
     if manifest.get("stats") not in (None, DEFAULT_STATS):
         # the symmetric guard to commit_table's: extraction entries are
@@ -838,6 +900,22 @@ def commit_stream_batch(
     # concurrent-writer misconfiguration; reload once then surface it
     def _base() -> dict:
         b = load_manifest(output_dir)
+        # re-run the entry guards on the RELOADED manifest: a batch writer
+        # that committed between the top-of-function check and this CAS
+        # would otherwise be silently re-stamped origin='stream', letting
+        # epoch keys land beside plain batch keys (double emission)
+        if _catalog_origin(b) in ("batch", "table"):
+            raise ValueError(
+                "catalog gained batch-committed keys while this epoch was "
+                "being written; streaming commits refuse to mix with them "
+                "(use a fresh output_dir)"
+            )
+        if b.get("stats") not in (None, DEFAULT_STATS):
+            raise ValueError(
+                f"catalog at {output_dir} gained a generic certification "
+                f"({b['stats']}) while this epoch was being written; "
+                "refusing to mix"
+            )
         b["origin"] = "stream"
         return b
 

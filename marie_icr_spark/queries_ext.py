@@ -2470,7 +2470,10 @@ def _repetition_oracle_sql() -> str:
     # DuckDB re-split every text ~5x per row (78s at sf0.1 vs ~2s now)
     from .functions.columns import round_half_up_sql
 
-    toks = _TOKENS_SQL.format(e="text")
+    # coalesce: a NULL text must still yield its one-empty-token row
+    # (tot1=1, fracs 0.0) like the Spark side — bare unnest(NULL) would
+    # drop the document from the result entirely
+    toks = _TOKENS_SQL.format(e="coalesce(text, '')")
 
     def frac(tot: str, d: str) -> str:
         return round_half_up_sql(f"CAST({tot} - {d} AS DOUBLE) / {tot}", 6)

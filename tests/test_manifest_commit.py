@@ -962,3 +962,59 @@ def test_compact_aborts_when_merged_key_replaced(
     removed = M.vacuum(out)
     assert any("compact-v" in p for p in removed)
     pd.testing.assert_frame_equal(before, _collect_sorted(spark, out))
+
+
+def test_extraction_refuses_layout_mismatch(spark, sdf, tmp_path_factory):
+    """A batch run with a different n_buckets does NOT supersede the old
+    layout key-by-key (rows re-hash mod the new count) — it must refuse."""
+    out = str(tmp_path_factory.mktemp("layout_mismatch"))
+    M.run_extraction_job_atomic(spark, sdf, out, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        M.run_extraction_job_atomic(spark, sdf, out, n_buckets=16)
+    # recorded layout survives compaction
+    M.compact(spark, out)
+    assert M.load_manifest(out)["n_buckets"] == 8
+    with pytest.raises(ValueError, match="n_buckets"):
+        M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4)
+    # same layout still resumes fine
+    M.run_extraction_job_atomic(spark, sdf, out, n_buckets=8)
+
+
+def test_stream_commit_refuses_batch_commit_mid_epoch(
+    spark, sdf, tmp_path_factory, monkeypatch
+):
+    """A batch writer landing between the stream sink's entry guard and
+    its CAS must be detected on the reloaded base — not silently
+    re-stamped origin='stream' (which would let epoch keys sit beside
+    plain batch keys and double-emit)."""
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.operators.extraction import extract_turns
+
+    out = str(tmp_path_factory.mktemp("stream_vs_batch_race"))
+    batch = extract_turns(sdf)
+
+    real = M._commit_manifest
+    state = {"injected": False}
+
+    def racing(output_dir, base, updates):
+        if not state["injected"]:
+            state["injected"] = True
+            monkeypatch.setattr(M, "_commit_manifest", real)
+            M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4)
+            monkeypatch.setattr(M, "_commit_manifest", racing)
+        return real(output_dir, base, updates)
+
+    monkeypatch.setattr(M, "_commit_manifest", racing)
+    with pytest.raises(ValueError, match="batch-committed"):
+        M.commit_stream_batch(
+            batch.filter(F.col("turn_idx") == 0), 0, out, n_buckets=4
+        )
+    monkeypatch.setattr(M, "_commit_manifest", real)
+    assert state["injected"]
+    # the catalog is exactly the batch writer's — no epoch keys leaked
+    m = M.load_manifest(out)
+    assert all("/" not in k for k in m["buckets"])
+    assert M._catalog_origin(m) == "batch"

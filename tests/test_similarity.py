@@ -123,3 +123,28 @@ def test_ann_batch_topk_matches_brute_force_on_planted(spark):
     assert sum(recalls) / len(recalls) >= 0.8, f"batch ANN recall too low: {recalls}"
     for qid, res in by_q.items():
         assert len(res) <= 3
+
+
+def test_lsh_bucket_degrades_on_null_and_ragged_vectors(spark):
+    """NULL / wrong-dimension embeddings must yield all-zero buckets (the
+    pre-vectorization Column semantics: null dot → bit 0), not an
+    executor crash."""
+    from pyspark.sql import Row
+
+    from marie_icr_spark.operators.similarity import EMB_DIM, lsh_bucket
+
+    rows = [
+        Row(vec_id=1, embedding=[0.5] * EMB_DIM),
+        Row(vec_id=2, embedding=None),
+        Row(vec_id=3, embedding=[0.5] * (EMB_DIM - 3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: list(r["buckets"])
+        for r in lsh_bucket(df).select("vec_id", "buckets").collect()
+    }
+    assert got[2] == [0, 0, 0, 0]
+    assert got[3] == [0, 0, 0, 0]
+    assert len(got[1]) == 4 and any(b != 0 for b in got[1])

@@ -55,6 +55,11 @@ def test_encode_text_word_alignment(tok):
     ids, wids = tok.encode_text("  the   there ")
     assert len(ids) == len(wids)
     assert wids == [0, 1, 1]  # the | the ##re
+    # the PINNED whitespace contract: \xa0 is NOT a separator (ASCII \s
+    # only, matching the oracle's _TOKENS_SQL) — it stays inside the word
+    # and tokenizes through the [UNK] fail-soft path
+    ids2, wids2 = tok.encode_text("a\xa0b")
+    assert wids2 == [0, 0, 0] and ids2[1] == UNK_ID
     # first-subword mask (F5): one True per word
     first = [i == 0 or wids[i] != wids[i - 1] for i in range(len(wids))]
     assert sum(first) == 2
