@@ -439,6 +439,27 @@ def pack_sequences(
     rows (driver-size, like the IVF centroid row), broadcast back, and each
     bucket computes its local cumsum independently.
     """
+    n = F.size(ws_tokens(F.col(text_col)))  # >= 1 even for empty text
+    return pack_counted(
+        df.select(F.col(id_col), n.alias("_n")),
+        ctx=ctx,
+        id_col=id_col,
+        count_col="_n",
+        bucket_size=bucket_size,
+    )
+
+
+def pack_counted(
+    df: DataFrame,
+    ctx: int,
+    id_col: str,
+    count_col: str,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """The packing machinery of :func:`pack_sequences` over PRECOMPUTED
+    per-document token counts (``count_col``) — the shared core for
+    whitespace counts and subword counts (``tokenizer.pack_subword``).
+    Zero-count documents contribute nothing and emit no rows."""
     from pyspark.sql import types as T
 
     id_type = df.schema[id_col].dataType
@@ -448,21 +469,22 @@ def pack_sequences(
         # a non-numeric id would cast to NULL, and the bucket join would
         # silently drop every row — fail loudly instead
         raise TypeError(
-            f"pack_sequences needs an integral {id_col!r} (got {id_type}); "
+            f"sequence packing needs an integral {id_col!r} (got {id_type}); "
             "derive one first, e.g. portable_hash31(col) — and for sparse/"
             "hashed ids pick bucket_size ≈ id_range/n_target_buckets so the "
             "offsets table stays small"
         )
-    n = F.size(ws_tokens(F.col(text_col)))  # >= 1 even for empty text
     # integer `div`, not double division: exact over the full long range
     # (doubles lose integer precision past 2^53) and order-consistent —
     # buckets stay contiguous id ranges, so the bucket-ordered prefix sum
-    # below reproduces the global id order
+    # below reproduces the global id order. The _n > 0 filter matters for
+    # zero-count docs: sequence(p0, p1) with p1 < p0 would DESCEND and
+    # fabricate negative-length slices.
     sized = df.select(
         F.col(id_col),
         F.expr(f"`{id_col}` div {int(bucket_size)}").alias("_b"),
-        n.alias("_n"),
-    )
+        F.col(count_col).cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
     btot = sized.groupBy("_b").agg(F.sum("_n").alias("_bn"))
     from pyspark.sql.window import Window
 

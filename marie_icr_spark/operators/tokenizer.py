@@ -27,6 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..extractors.subword import (
     CLS_ID,
@@ -142,3 +143,50 @@ def tokenize_windows(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, text_col).mapInPandas(run, out_ddl)
+
+
+def subword_token_counts(
+    df: DataFrame,
+    vocab_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_subword): the document's total subword token count —
+    the sizing input for subword-exact packing. One scalar pandas UDF,
+    zero shuffle."""
+    from pyspark.sql import types as T
+
+    vocab = load_vocab(vocab_path or default_vocab_path())
+    tok = WordPieceTokenizer.from_vocab(vocab)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.IntegerType())
+    def cnt(texts):
+        return texts.map(lambda t: len(tok.encode_text(t or "")[0]))
+
+    return df.select(F.col(id_col), cnt(F.col(text_col)).alias("n_subword"))
+
+
+def pack_subword(
+    df: DataFrame,
+    ctx: int = 512,
+    vocab_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """Subword-exact GPT-style sequence packing: the concat-then-chunk
+    layout of ``textstats.pack_sequences``, but sized by the REAL subword
+    token counts a model trains on (vocab-file-driven WordPiece) instead
+    of whitespace counts — the end-to-end tokenize→pack composition of a
+    training-data pipeline. Output: (pack_id, ``id_col``, start_tok
+    — offset into the doc's subword stream, n_toks). Docs with zero
+    subword tokens (empty text) emit no rows."""
+    from .textstats import pack_counted
+
+    counts = subword_token_counts(df, vocab_path, text_col, id_col)
+    return pack_counted(
+        counts, ctx=ctx, id_col=id_col, count_col="n_subword",
+        bucket_size=bucket_size,
+    )

@@ -3399,16 +3399,12 @@ def q_classify_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _subword_oracle_sql() -> str:
-    import json
-
-    from .extractors.subword import (
-        HASH_P,
-        UNK_ID,
-        default_vocab_path,
-        load_vocab,
-    )
-    from .operators.inference import default_weights_path
+def _subword_tok_ctes() -> str:
+    """Shared WITH-body: vocab VALUES + greedy longest-match recursive
+    tokenization per DISTINCT word + the ordered per-document token stream
+    (CTE ``toks``: doc_id, i, pid). Used by the classify_subword and
+    pack_subword oracles."""
+    from .extractors.subword import UNK_ID, default_vocab_path, load_vocab
 
     vocab = load_vocab(default_vocab_path())
     vvals = ", ".join(
@@ -3417,24 +3413,9 @@ def _subword_oracle_sql() -> str:
         for p, i in sorted(vocab.items(), key=lambda kv: kv[1])
         if not (p.startswith("[") and p.endswith("]"))
     )
-    with open(default_weights_path()) as f:
-        spec = json.load(f)
-    labels = sorted(spec["labels"])
-    nb = int(spec["vocab_buckets"])
-    wvals = ", ".join(
-        f"('{lb}', {b}, {w})"
-        for lb in labels
-        for b, w in enumerate(spec["weights"][lb])
-    )
-    bvals = ", ".join(f"('{lb}', {spec['bias'][lb]})" for lb in labels)
     toks = _TOKENS_SQL.format(e="text")
-    c = _SW_MAX_LENGTH - 2
-    step = c - _SW_STRIDE
     return f"""
-WITH RECURSIVE
 vocab AS (SELECT * FROM (VALUES {vvals}) AS t(m, cont, id)),
-wt AS (SELECT * FROM (VALUES {wvals}) AS t(l, b, w)),
-bs AS (SELECT * FROM (VALUES {bvals}) AS t(l, bv)),
 words AS (
   SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS wi
   FROM (SELECT doc_id, {toks} AS ws FROM documents)
@@ -3465,7 +3446,32 @@ toks AS (
                             ORDER BY ws.wi, p.stp) - 1 AS i,
          p.pid
   FROM words ws JOIN pieces p USING (w)
-),
+)"""
+
+
+def _classify_subword_oracle_sql() -> str:
+    import json
+
+    from .extractors.subword import HASH_P
+    from .operators.inference import default_weights_path
+
+    with open(default_weights_path()) as f:
+        spec = json.load(f)
+    labels = sorted(spec["labels"])
+    nb = int(spec["vocab_buckets"])
+    wvals = ", ".join(
+        f"('{lb}', {b}, {w})"
+        for lb in labels
+        for b, w in enumerate(spec["weights"][lb])
+    )
+    bvals = ", ".join(f"('{lb}', {spec['bias'][lb]})" for lb in labels)
+    c = _SW_MAX_LENGTH - 2
+    step = c - _SW_STRIDE
+    return f"""
+WITH RECURSIVE
+{_subword_tok_ctes()},
+wt AS (SELECT * FROM (VALUES {wvals}) AS t(l, b, w)),
+bs AS (SELECT * FROM (VALUES {bvals}) AS t(l, bv)),
 nn AS (
   SELECT doc_id, COUNT(*) AS n,
          CASE WHEN COUNT(*) <= {c} THEN 1
@@ -3518,7 +3524,58 @@ FROM win w JOIN rk r ON r.doc_id = w.doc_id AND r.k = w.k AND r.rn = 1
 """
 
 
-ORACLE_CLASSIFY_SUBWORD = _subword_oracle_sql()
+ORACLE_CLASSIFY_SUBWORD = _classify_subword_oracle_sql()
 
 EXT_QUERIES["classify_subword"] = q_classify_subword
 EXT_ORACLES["classify_subword"] = ORACLE_CLASSIFY_SUBWORD
+
+
+# ---------------------------------------------------------------------------
+# Subword-exact sequence packing: tokenize → pack, the end-to-end
+# context-window prep composition (pack_sequences sized by REAL subword
+# counts from the vocab file instead of whitespace counts). The oracle
+# reuses the shared recursive-CTE tokenization and replays the pack math.
+# ---------------------------------------------------------------------------
+
+_PACK_SW_CTX = 96
+_PACK_SW_BUCKET = 64
+
+
+def q_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tokenizer import pack_subword
+
+    return pack_subword(
+        _docs(spark, sf_dir), ctx=_PACK_SW_CTX, bucket_size=_PACK_SW_BUCKET
+    )
+
+
+def _pack_subword_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{_subword_tok_ctes()},
+t AS (SELECT doc_id, COUNT(*) n FROM toks GROUP BY doc_id),
+cum AS (SELECT doc_id, n,
+               SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                 AS before
+        FROM t),
+p AS (SELECT doc_id, n, before,
+             unnest(range(CAST(before // {_PACK_SW_CTX} AS BIGINT),
+                          CAST((before + n - 1) // {_PACK_SW_CTX} + 1
+                               AS BIGINT)))
+               pack_id
+      FROM cum)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       doc_id,
+       CAST(greatest(pack_id * {_PACK_SW_CTX} - before, 0) AS INTEGER)
+         AS start_tok,
+       CAST(least((pack_id + 1) * {_PACK_SW_CTX} - before, n)
+            - greatest(pack_id * {_PACK_SW_CTX} - before, 0) AS INTEGER)
+         AS n_toks
+FROM p
+"""
+
+
+ORACLE_PACK_SUBWORD = _pack_subword_oracle_sql()
+
+EXT_QUERIES["pack_subword"] = q_pack_subword
+EXT_ORACLES["pack_subword"] = ORACLE_PACK_SUBWORD

@@ -509,6 +509,14 @@ def q_packing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_toks").cast("long").alias("v2"),
         ns.alias("s"),
     )
+    psw = X.q_pack_subword(spark, sf_dir).select(
+        _m("pack_subword"),
+        F.col("pack_id").cast("long").alias("k1"),
+        F.col("doc_id").cast("long").alias("k2"),
+        F.col("start_tok").cast("long").alias("v1"),
+        F.col("n_toks").cast("long").alias("v2"),
+        ns.alias("s"),
+    )
     lh = X.q_length_histogram(spark, sf_dir).select(
         _m("length_histogram"),
         F.col("bin").alias("k1"), nl.alias("k2"),
@@ -518,7 +526,7 @@ def q_packing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_tokens").cast("string"),
         ).alias("s"),
     )
-    return ch.unionByName(pk).unionByName(lh)
+    return ch.unionByName(pk).unionByName(psw).unionByName(lh)
 
 
 ORACLE_PACKING_SUITE = "\nUNION ALL\n".join(
@@ -536,6 +544,13 @@ ORACLE_PACKING_SUITE = "\nUNION ALL\n".join(
             "CAST(start_tok AS BIGINT) AS v1, CAST(n_toks AS BIGINT) AS v2, "
             "CAST(NULL AS VARCHAR) AS s",
             X.ORACLE_PACK_SEQUENCES,
+        ),
+        _wrap(
+            "pack_subword",
+            "pack_id AS k1, CAST(doc_id AS BIGINT) AS k2, "
+            "CAST(start_tok AS BIGINT) AS v1, CAST(n_toks AS BIGINT) AS v2, "
+            "CAST(NULL AS VARCHAR) AS s",
+            X.ORACLE_PACK_SUBWORD,
         ),
         _wrap(
             "length_histogram",
@@ -597,6 +612,7 @@ MERGED_MEMBERS = frozenset(
         "stream_kind_counts", "stream_conv_state", "stream_sessionize",
         "stream_dedup",
         "repetition_stats", "decontaminate", "stratified_sample",
-        "chunk_documents", "pack_sequences", "length_histogram",
+        "chunk_documents", "pack_sequences", "pack_subword",
+        "length_histogram",
     }
 )

@@ -139,3 +139,48 @@ def test_tokenize_windows_operator(spark):
     # fingerprint matches the pure-Python twin on a sampled row
     ids = w1[0]["input_ids"][1:-1]
     assert window_fingerprint(list(ids)) == w1[0]["window_fp"]
+
+
+def test_pack_subword_exact_coverage(spark):
+    """Subword-exact packing: every subword token lands in exactly one
+    pack slice, packs fill to ctx except the last, and zero-token docs
+    emit nothing."""
+    from marie_icr_spark.extractors.subword import (
+        WordPieceTokenizer,
+        default_vocab_path,
+        load_vocab,
+    )
+    from marie_icr_spark.operators.tokenizer import pack_subword
+
+    tok = WordPieceTokenizer.from_vocab(load_vocab(default_vocab_path()))
+    texts = ["the there", "spark stream table " * 7, "", "a", "query row"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ctx = 16
+    out = pack_subword(docs, ctx=ctx, bucket_size=2).collect()
+
+    counts = {i: len(tok.encode_text(t)[0]) for i, t in enumerate(texts)}
+    assert counts[2] == 0
+    assert {r["doc_id"] for r in out} == {
+        i for i, n in counts.items() if n > 0
+    }
+    # per-doc slices cover the doc exactly (contiguous, in pack order)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: (r["pack_id"], r["start_tok"]))
+        covered = sum(r["n_toks"] for r in rows)
+        assert covered == counts[did], (did, covered, counts[did])
+        assert rows[0]["start_tok"] == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b["start_tok"] == a["start_tok"] + a["n_toks"]
+    # every pack except the last is exactly full
+    per_pack = {}
+    for r in out:
+        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_toks"]
+    last = max(per_pack)
+    for pid, tot in per_pack.items():
+        assert tot == ctx or pid == last, (pid, tot)
+    assert sum(per_pack.values()) == sum(counts.values())
