@@ -54,27 +54,7 @@ def build_corpus(
     for the connected-component rounds — pass it on a real cluster; the
     default keeps executor-local checkpoints (fine on local mode).
     """
-    from ..functions.columns import portable_hash31
-    from ..operators.assembly import assemble_conversations
-    from ..operators.dedup import jaccard_pairs
-    from ..operators.extraction import extract_turns
-    from ..operators.textstats import (
-        language_id,
-        quality_score,
-        stratified_hash_sample,
-    )
-
-    convs = assemble_conversations(extract_turns(transcripts, mode=mode))
-
-    q = quality_score(
-        convs, text_col="conversation_text", id_cols=("conv_id",)
-    ).select("conv_id", "n_tokens", "quality")
-    convs = convs.join(q, "conv_id").filter(F.col("quality") >= min_quality)
-
-    lang = language_id(
-        convs, text_col="conversation_text", id_cols=("conv_id",)
-    ).select("conv_id", "pred_lang")
-    convs = convs.join(lang, "conv_id")
+    convs = stage_convs(transcripts, min_quality=min_quality, mode=mode)
 
     # the curated frame fans out (dedup group-agg + join, shingle index,
     # survivor anti-join) and the component loop re-derives its edges every
@@ -94,6 +74,67 @@ def build_corpus(
         # job recomputes the upstream once per branch (119s → ~20s at
         # sf0.1). One count() materializes the cache up front.
         convs.count()
+
+    return finalize_corpus(
+        convs,
+        jaccard_threshold=jaccard_threshold,
+        rates=rates,
+        default_rate=default_rate,
+        sample_salt=sample_salt,
+        persist_handles=persist_handles,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def stage_convs(
+    transcripts: DataFrame,
+    min_quality: float = MIN_QUALITY,
+    mode: str = "sparse",
+) -> DataFrame:
+    """The PER-CONVERSATION half of the pipeline: extract → assemble →
+    quality gate → language ID. Output = the pre-dedup curated "stage"
+    frame (conv_id, conversation_text, turn_count, n_tokens, quality,
+    pred_lang). This is the expensive half (Python payload parse), and it
+    touches each conversation independently — which is what makes the
+    CDC-driven incremental path (``plans.incremental``) possible: only
+    affected conversations re-run it."""
+    from ..operators.assembly import assemble_conversations
+    from ..operators.extraction import extract_turns
+    from ..operators.textstats import language_id, quality_score
+
+    convs = assemble_conversations(extract_turns(transcripts, mode=mode))
+
+    q = quality_score(
+        convs, text_col="conversation_text", id_cols=("conv_id",)
+    ).select("conv_id", "n_tokens", "quality")
+    convs = convs.join(q, "conv_id").filter(F.col("quality") >= min_quality)
+
+    lang = language_id(
+        convs, text_col="conversation_text", id_cols=("conv_id",)
+    ).select("conv_id", "pred_lang")
+    return convs.join(lang, "conv_id")
+
+
+def finalize_corpus(
+    convs: DataFrame,
+    jaccard_threshold: float | None = JACCARD_THRESHOLD,
+    rates: dict[str, float] | None = None,
+    default_rate: float = SAMPLE_DEFAULT_RATE,
+    sample_salt: str = SAMPLE_SALT,
+    persist_handles: list | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The GLOBAL half: exact dedup → near-dup survivors → stratified
+    sampling over a stage frame (see :func:`stage_convs`). Deterministic
+    in the stage CONTENT alone — which conversations are present and
+    their text — so running it over an incrementally-merged stage equals
+    running it after a full recompute (the ``corpus_incremental`` oracle
+    certifies exactly this)."""
+    from ..functions.columns import portable_hash31
+    from ..operators.dedup import jaccard_pairs
+    from ..operators.textstats import stratified_hash_sample
+
+    persisting = persist_handles is not None
 
     # exact dedup: smallest conv_id survives per identical text (grouping on
     # the md5, not the full string — the shuffle key stays 32 bytes)

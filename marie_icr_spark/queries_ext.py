@@ -3579,3 +3579,54 @@ ORACLE_PACK_SUBWORD = _pack_subword_oracle_sql()
 
 EXT_QUERIES["pack_subword"] = q_pack_subword
 EXT_ORACLES["pack_subword"] = ORACLE_PACK_SUBWORD
+
+
+# ---------------------------------------------------------------------------
+# CDC-driven incremental curation (plans/incremental.py): the query builds a
+# PRE-DELTA stage catalog (some conversations absent, some truncated),
+# then runs curate_incremental over the full transcripts with exactly those
+# conversations marked affected. The oracle is LITERALLY the full-recompute
+# corpus_pipeline SQL — the value-hash compare IS the incremental ==
+# full-recompute equivalence certificate.
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .plans import incremental as INC
+
+    t = transcripts_from_docs(spark, sf_dir)
+    # deterministic delta: conversations with hash%5==0 are NEW arrivals
+    # (absent from the base), hash%5==1 GREW (base had only turns 0-1)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(5))
+    base = t.filter(~((h == 0) | ((h == 1) & (F.col("turn_idx") >= 2))))
+    affected = (
+        t.filter((h == 0) | (h == 1)).select("conv_id").distinct()
+    )
+    tmp = tempfile.mkdtemp(prefix="inc_stage_")
+    handles: list = []
+    try:
+        INC.commit_stage(
+            _CP.stage_convs(base), f"{tmp}/stage", n_buckets=8
+        )
+        out = INC.curate_incremental(
+            spark,
+            t,
+            affected,
+            f"{tmp}/stage",
+            rates=dict(_CP.SAMPLE_RATES),
+            n_buckets=8,
+            persist_handles=handles,
+        )
+        pdf = out.toPandas()
+    finally:
+        for hd in handles:
+            hd.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+EXT_QUERIES["corpus_incremental"] = q_corpus_incremental
+EXT_ORACLES["corpus_incremental"] = ORACLE_CORPUS_PIPELINE
