@@ -241,3 +241,69 @@ def test_corpus_pipeline_checkpoint_dir_no_warning(
     # reliable checkpoints write under the passed dir (unless the graph had
     # no edges, in which case nothing needed checkpointing)
     assert os.path.isdir(ckpt)
+
+
+def test_corpus_incremental_cli(spark, input_dir, tmp_path_factory, capsys):
+    """bootstrap → extraction-catalog CDC → incremental run: the CLI
+    chains the whole loop and the final corpus equals a full recompute."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import run_corpus_incremental
+    from marie_icr_spark.plans import corpus as C
+    from marie_icr_spark.plans import manifest as M
+    from marie_icr_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    stage = str(tmp_path_factory.mktemp("ci_stage"))
+    out = str(tmp_path_factory.mktemp("ci_out"))
+    results = str(tmp_path_factory.mktemp("ci_results"))
+    t = spark.read.parquet(input_dir)
+
+    # extraction catalog v1 (the CDC source)
+    M.run_extraction_job_atomic(spark, t, results, n_buckets=4)
+    v1 = M.load_manifest(results)["version"]
+
+    rc = run_corpus_incremental.main(
+        ["--input", input_dir, "--stage-dir", stage, "--output", out,
+         "--n-buckets", "4", "--bootstrap"],
+        spark=spark,
+    )
+    assert rc == 0
+    boot = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert boot["action"] == "bootstrap" and boot["corpus_rows"] > 0
+
+    # delta: one conversation grows; extraction catalog advances to v2
+    vid = t.select("conv_id").orderBy("conv_id").limit(1).collect()[0][0]
+    extra = spark.createDataFrame(
+        [(vid, 999, "user", "a fresh plain turn of text", None, None)],
+        TRANSCRIPT_SCHEMA,
+    )
+    upd_dir = str(tmp_path_factory.mktemp("ci_updated"))
+    t.unionByName(extra).write.parquet(upd_dir, mode="overwrite")
+    updated = spark.read.parquet(upd_dir)
+    M.run_extraction_job_atomic(spark, updated, results, n_buckets=4)
+
+    rc = run_corpus_incremental.main(
+        ["--input", upd_dir, "--results-dir", results,
+         "--from-version", str(v1), "--stage-dir", stage,
+         "--output", out, "--n-buckets", "4"],
+        spark=spark,
+    )
+    assert rc == 0
+    inc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert inc["action"] == "incremental" and inc["affected_convs"] >= 1
+    assert inc["corpus_version"] == boot["corpus_version"] + 1
+
+    got = (
+        M.read_results(spark, out)
+        .select("conv_id", "conversation_text", "pred_lang")
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    want = (
+        C.build_corpus(updated, rates=dict(C.SAMPLE_RATES))
+        .select("conv_id", "conversation_text", "pred_lang")
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
