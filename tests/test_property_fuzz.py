@@ -135,3 +135,95 @@ def test_py_band_fast_path_equals_numpy_twin(boxes):
         assert [list(map(int, r)) for r in py[0]] == [
             [int(v) for v in row] for row in np_[0]
         ]
+
+
+# -- subword tokenizer contract (extractors/subword.py) ----------------------
+
+_sw_tok = None
+
+
+def _subword_tok():
+    global _sw_tok
+    if _sw_tok is None:
+        from marie_icr_spark.extractors.subword import (
+            WordPieceTokenizer,
+            default_vocab_path,
+            load_vocab,
+        )
+
+        _sw_tok = WordPieceTokenizer.from_vocab(load_vocab(default_vocab_path()))
+    return _sw_tok
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_subword_encode_never_raises_and_aligns(text):
+    """Any unicode input: encode_text never raises, ids/word_ids align,
+    every id is a valid vocab id, and encoding is deterministic."""
+    from marie_icr_spark.extractors.subword import default_vocab_path, load_vocab
+
+    tok = _subword_tok()
+    n_vocab = len(load_vocab(default_vocab_path()))
+    ids, wids = tok.encode_text(text)
+    ids2, wids2 = tok.encode_text(text)
+    assert (ids, wids) == (ids2, wids2)
+    assert len(ids) == len(wids)
+    assert all(0 <= i < n_vocab for i in ids)
+    assert wids == sorted(wids)  # word ordinals are non-decreasing
+
+
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_subword_pieces_reconstruct_ascii_words(text):
+    """For ASCII words, concatenating the matched pieces reconstructs the
+    word exactly (greedy matching consumes every character; [UNK] chars
+    excepted — they consume exactly one unknown char each)."""
+    from marie_icr_spark.extractors.subword import UNK_ID
+
+    tok = _subword_tok()
+    inv_init = {i: p for p, i in tok.initial.items()}
+    inv_cont = {i: p for p, i in tok.cont.items()}
+    for word in " ".join(text.split()).split(" "):
+        pieces = tok.encode_word(word)
+        pos = 0
+        for k, pid in enumerate(pieces):
+            if pid == UNK_ID:
+                pos += 1
+                continue
+            p = (inv_init if pos == 0 else inv_cont).get(pid)
+            # a non-UNK piece must match the word at pos
+            assert p is not None and word[pos:pos + len(p)] == p, (
+                word, pieces, k)
+            pos += len(p)
+        assert pos == len(word), (word, pieces)
+
+
+@given(
+    st.integers(min_value=0, max_value=5000),
+    st.integers(min_value=3, max_value=512),
+    st.integers(min_value=0, max_value=400),
+)
+@settings(max_examples=300, deadline=None)
+def test_window_spans_cover_exactly(n, max_length, stride):
+    """Window spans: cover [0, n) exactly, starts advance by C - stride,
+    every span non-empty and <= C."""
+    from marie_icr_spark.extractors.subword import window_spans
+
+    c = max_length - 2
+    if not 0 <= stride < c:
+        return
+    spans = window_spans(n, max_length, stride)
+    if n == 0:
+        assert spans == []
+        return
+    assert spans[0][0] == 0 and spans[-1][1] == n
+    for s, e in spans:
+        assert 0 < e - s <= c
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert s1 - s0 == c - stride
+        assert s1 < e0 or e0 == s1  # contiguous-or-overlapping
+        assert s1 <= e0  # no gaps
+    covered = set()
+    for s, e in spans:
+        covered |= set(range(s, e))
+    assert covered == set(range(n))
