@@ -71,8 +71,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from marie_icr_spark.plans.manifest import read_results
 
             stage = read_results(spark, args.stage_dir).select(
-                "conv_id", "conversation_text", "turn_count", "n_tokens",
-                "quality", "pred_lang",
+                *INC.STAGE_COLS
             )
             corpus = C.finalize_corpus(
                 stage,
@@ -102,7 +101,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             args.output,
             key_col="conv_id",
             n_buckets=args.n_buckets,
-            hash_cols=("conv_id", "conversation_text", "pred_lang"),
+            # same certification as jobs/run_corpus_pipeline.py so both
+            # CLIs can write the same corpus catalog
+            hash_cols=INC.CORPUS_HASH_COLS,
+            sum_col="n_tokens",
         )
         total = sum(
             e["turn_count"] for e in manifest["buckets"].values()

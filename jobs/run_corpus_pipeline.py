@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     from pyspark.sql import SparkSession
 
+    from marie_icr_spark.plans import incremental
     from marie_icr_spark.plans.manifest import commit_table
 
     owns_session = spark is None
@@ -90,7 +91,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             args.output,
             key_col="conv_id",
             n_buckets=args.n_buckets,
-            hash_cols=("conv_id", "conversation_text"),
+            hash_cols=incremental.CORPUS_HASH_COLS,
             sum_col="n_tokens",
         )
         for h in handles:  # the commit materialized everything

@@ -48,9 +48,10 @@ MAX_LENGTH = 512  # reference contract (ner_extraction_executor.py:192-374)
 STRIDE = 128
 
 # the pinned whitespace contract (same as dedup._py_shingle_list): strip
-# SPACES only (Spark trim / DuckDB trim default), collapse Java/RE2 ASCII
-# \s runs — NOT Python's unicode-aware str.split(), which would split on
-# \xa0 etc. and diverge from the oracle's _TOKENS_SQL
+# SPACES only (Spark trim / DuckDB trim default), collapse JAVA ASCII \s
+# runs [ \t\n\x0b\f\r] — NOT Python's unicode-aware str.split() (splits
+# on \xa0 etc.) and NOT RE2's \s (no \x0b): the oracle SQL spells the
+# class out explicitly for exactly this reason
 _ASCII_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 

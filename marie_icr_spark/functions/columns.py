@@ -55,7 +55,7 @@ def ws_tokens(col: Column) -> Column:
     return F.split(F.regexp_replace(F.trim(col), r"\s+", " "), " ")
 
 
-WS_TOKENS_SQL = "string_split(regexp_replace(trim({e}), '\\s+', ' ', 'g'), ' ')"
+WS_TOKENS_SQL = "string_split(regexp_replace(trim({e}), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')"
 
 
 def rolling_fingerprint(tokens: Column) -> Column:

@@ -107,11 +107,18 @@ def _buckets_udf():
         if not len(q):
             return pd.Series([], dtype=object)
         vecs = q.to_numpy()
-        # NULL / wrong-dimension vectors: the replaced Column expression
-        # yielded all-zero buckets for them (null dot → bit 0), not an
-        # executor crash — keep that degradation
+        # NULL / wrong-dimension / null-element vectors: the replaced
+        # Column expression yielded all-zero buckets for them (null dot →
+        # bit 0), not an executor crash — keep that degradation. A null
+        # ELEMENT arrives as NaN (Arrow list<int64> with a null → float64
+        # array), and NaN.astype(int64) is INT64_MIN garbage, so the
+        # finite check matters as much as the length check.
         ok = np.fromiter(
-            (v is not None and len(v) == EMB_DIM for v in vecs),
+            (
+                v is not None
+                and len(v) == EMB_DIM
+                and np.isfinite(np.asarray(v, dtype=np.float64)).all()
+            for v in vecs),
             dtype=bool,
             count=len(vecs),
         )

@@ -11,7 +11,7 @@ WITH d AS (
     'conv-' || lpad(CAST(doc_id % {CONV_MOD} AS VARCHAR), 6, '0') AS conv_id,
     CAST(doc_id // {CONV_MOD} AS INTEGER) AS turn_idx,
     doc_id % 100 AS kb,
-    string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+    string_split(regexp_replace(trim(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS w
   FROM documents
 ),
 g AS (

@@ -41,18 +41,70 @@ from .manifest import commit_table, load_manifest, read_incremental, read_result
 #: stage-table certification columns (content-bearing, engine-portable)
 STAGE_HASH_COLS = ("conv_id", "conversation_text", "pred_lang")
 
+#: final-corpus certification columns — MUST match
+#: jobs/run_corpus_pipeline.py so the two CLIs can share an output
+#: catalog (mixed certifications are refused by commit_table)
+CORPUS_HASH_COLS = ("conv_id", "conversation_text")
+
+#: canonical stage-table columns (one definition — the merge, the
+#: read-back and the CLI all select exactly these)
+STAGE_COLS = (
+    "conv_id", "conversation_text", "turn_count", "n_tokens",
+    "quality", "pred_lang",
+)
+
 
 def affected_convs_from_cdc(
-    spark: SparkSession, results_dir: str, from_version: int
+    spark: SparkSession,
+    results_dir: str,
+    from_version: int,
+    to_version: int | None = None,
 ) -> DataFrame:
-    """Conversations whose extracted turns changed since ``from_version``
-    of a manifest-catalog results table: the manifest diff
-    (:func:`..manifest.read_incremental`) scales with the delta, not the
-    table. Output: one ``conv_id`` column, distinct."""
-    return (
-        read_incremental(spark, results_dir, from_version)
-        .select("conv_id")
+    """Conversations whose extracted turns may have changed since
+    ``from_version`` of a manifest-catalog results table. Output: one
+    ``conv_id`` column, distinct; granularity is the commit bucket (a
+    superset of the truly-changed conversations).
+
+    Both sides of the diff matter: :func:`..manifest.read_incremental`
+    yields the NEW rows of changed buckets — but a conversation DELETED
+    upstream emits nothing there (its bucket's remaining rows re-commit
+    without it, or the bucket key is tombstoned outright), so the OLD
+    version's rows of every changed-or-removed bucket are unioned in.
+    Without that, a deleted conversation would survive in the stage
+    forever and the incremental == full-recompute contract would silently
+    break on the first takedown. Cost still scales with the delta: only
+    changed buckets are read, on both versions (partition-pruned)."""
+    from .manifest import load_manifest
+
+    new_rows = read_incremental(spark, results_dir, from_version, to_version)
+    old_m = load_manifest(results_dir, from_version)
+    new_m = load_manifest(results_dir, to_version)
+
+    def _live(m: dict) -> set[int]:
+        return {
+            int(k.split("/")[-1])
+            for k, e in m["buckets"].items()
+            if e["run_id"] is not None and e["turn_count"] > 0
+        }
+
+    removed = _live(old_m) - _live(new_m)
+    changed = (
+        new_rows.select(F.col("bucket").cast("int").alias("bucket"))
         .distinct()
+    )
+    if removed:
+        changed = changed.unionByName(
+            spark.createDataFrame(
+                [(int(b),) for b in sorted(removed)], "bucket int"
+            )
+        ).distinct()
+    old_side = (
+        read_results(spark, results_dir, version=from_version)
+        .join(changed, "bucket", "left_semi")
+        .select("conv_id")
+    )
+    return (
+        new_rows.select("conv_id").unionByName(old_side).distinct()
     )
 
 
@@ -100,30 +152,24 @@ def curate_incremental(
     returns the final corpus (same schema/content as
     ``build_corpus(all_turns)``).
     """
+    # no broadcast hint on the affected set: it is unbounded (a
+    # source-wide change marks most buckets), so let AQE pick
+    # broadcast-vs-shuffle from the actual size at runtime
     affected = affected_convs.select("conv_id").distinct()
-    delta_turns = transcripts.join(
-        F.broadcast(affected), "conv_id", "left_semi"
-    )
+    delta_turns = transcripts.join(affected, "conv_id", "left_semi")
     recurated = C.stage_convs(delta_turns, min_quality=min_quality, mode=mode)
 
-    cols = [
-        "conv_id", "conversation_text", "turn_count", "n_tokens",
-        "quality", "pred_lang",
-    ]
     # read_results carries the catalog's `bucket` partition column — drop
     # it before the merge (commit_stage re-derives it)
-    old_stage = read_results(spark, stage_dir).select(*cols)
-    merged = old_stage.join(
-        F.broadcast(affected), "conv_id", "left_anti"
-    ).unionByName(recurated.select(*cols))
+    old_stage = read_results(spark, stage_dir).select(*STAGE_COLS)
+    merged = old_stage.join(affected, "conv_id", "left_anti").unionByName(
+        recurated.select(*STAGE_COLS)
+    )
     commit_stage(merged, stage_dir, n_buckets=n_buckets)
 
     # read the committed snapshot back: the certified path is
     # catalog → finalize (and parquet round-trips doubles exactly)
-    stage = read_results(spark, stage_dir).select(
-        "conv_id", "conversation_text", "turn_count", "n_tokens",
-        "quality", "pred_lang",
-    )
+    stage = read_results(spark, stage_dir).select(*STAGE_COLS)
     persisting = persist_handles is not None
     if persisting:
         from pyspark import StorageLevel

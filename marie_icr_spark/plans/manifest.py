@@ -566,12 +566,28 @@ def vacuum(
             return False  # vanished or unreadable: leave it alone
 
     def _superseded_before_cutoff(v: int) -> bool:
-        # version v stopped being CURRENT the moment v+1 was published;
-        # that successor file's mtime IS the supersede time
+        # version v stopped being CURRENT the moment v+1 was PUBLISHED.
+        # The successor file's mtime is its write time — usually also the
+        # publish time, EXCEPT when the successor sat unpublished (writer
+        # died before the CURRENT rename) and a later roll-forward (e.g.
+        # this vacuum's own _publish_pending) flipped CURRENT: readers
+        # kept loading v until that flip. For v == cur-1 the CURRENT
+        # pointer's own mtime records that flip, so take the max.
         try:
-            return os.path.getmtime(_manifest_path(output_dir, v + 1)) <= cutoff
+            t = os.path.getmtime(_manifest_path(output_dir, v + 1))
         except OSError:
             return True  # successor already expired → superseded long ago
+        if v + 1 == cur:
+            try:
+                t = max(
+                    t,
+                    os.path.getmtime(
+                        os.path.join(_commit_dir(output_dir), _CURRENT)
+                    ),
+                )
+            except OSError:
+                pass
+        return t <= cutoff
 
     keep = {
         v
@@ -693,20 +709,25 @@ def run_extraction_job_atomic(
             "don't mix (re-run with the recorded layout, or "
             "vacuum/recreate the table)"
         )
-    if prev_n is None:
-        # legacy manifest without the recorded layout: infer the hazard
-        # from live plain keys outside this job's bucket range
-        stale = sorted(
-            int(k)
-            for k, e in manifest["buckets"].items()
-            if e["run_id"] is not None and int(k) >= n_buckets
+    if prev_n is None and manifest["buckets"]:
+        # legacy manifest without the recorded layout: every recorded key
+        # (live OR tombstoned) belongs to the old layout, so the old
+        # n_buckets is at least max_key+1 — refuse BOTH directions of
+        # mismatch (a shrink leaves live out-of-range keys visible; a
+        # grow lets same-snapshot resume skip old-layout `done` buckets
+        # while re-hashing rows mod the new count — double emission
+        # either way). Conservative for a killed-mid-first-run legacy
+        # catalog (max_key may undershoot); such catalogs predate this
+        # build and the error names the vacuum/recreate escape.
+        inferred = 1 + max(
+            int(k) for k in manifest["buckets"] if "/" not in k
         )
-        if stale:
+        if inferred != int(n_buckets):
             raise ValueError(
-                f"catalog has live buckets {stale} outside this job's "
-                f"n_buckets={n_buckets}; they would stay visible next to "
-                "the re-hashed rows (double emission) — use a matching "
-                "layout or vacuum/recreate the table"
+                f"catalog records buckets implying n_buckets>={inferred} "
+                f"(no recorded layout); this job uses n_buckets="
+                f"{n_buckets} — layouts don't mix (double emission); use "
+                f"n_buckets={inferred} or vacuum/recreate the table"
             )
     manifest["n_buckets"] = int(n_buckets)
     manifest["origin"] = "batch"

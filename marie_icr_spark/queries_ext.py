@@ -48,7 +48,7 @@ from .operators.voting import (
 from .sources.tables import load_table
 from .sources.transcripts import CONV_MOD, transcripts_from_docs
 
-_TOKENS_SQL = "string_split(regexp_replace(trim({e}), '\\s+', ' ', 'g'), ' ')"
+_TOKENS_SQL = "string_split(regexp_replace(trim({e}), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')"
 
 
 def _docs(spark, sf_dir):
@@ -2278,7 +2278,7 @@ def q_stream_kind_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_KIND_COUNTS = f"""
 WITH d AS (
   SELECT doc_id, doc_id % 100 AS kb,
-         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w
+         string_split(regexp_replace(trim(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS w
   FROM documents),
 s AS (
   SELECT doc_id, kb,

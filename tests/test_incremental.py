@@ -117,3 +117,32 @@ def test_affected_convs_from_cdc(spark, turns, tmp_path_factory):
     )
     full = C.build_corpus(updated)
     pd.testing.assert_frame_equal(_corpus_pdf(inc), _corpus_pdf(full))
+
+
+def test_cdc_detects_deleted_conversation(spark, turns, tmp_path_factory):
+    """A conversation deleted upstream emits nothing in the append feed —
+    the affected set must still name it (old-side diff of changed
+    buckets) and the incremental run must drop it, matching full
+    recompute."""
+    out = str(tmp_path_factory.mktemp("inc_del"))
+    M.run_extraction_job_atomic(spark, turns, out, n_buckets=4)
+    v1 = M.load_manifest(out)["version"]
+
+    vid = turns.select("conv_id").orderBy("conv_id").limit(1).collect()[0][0]
+    shrunk = turns.filter(F.col("conv_id") != vid)
+    M.run_extraction_job_atomic(spark, shrunk, out, n_buckets=4)
+
+    affected = INC.affected_convs_from_cdc(spark, out, v1)
+    got = {r["conv_id"] for r in affected.collect()}
+    assert vid in got, "deleted conversation missing from the CDC set"
+
+    stage_dir = str(tmp_path_factory.mktemp("inc_del_stage"))
+    INC.commit_stage(C.stage_convs(turns), stage_dir, n_buckets=4)
+    inc = INC.curate_incremental(
+        spark, shrunk, affected, stage_dir, n_buckets=4
+    )
+    assert inc.filter(F.col("conv_id") == vid).count() == 0
+    full = C.build_corpus(shrunk)
+    pd.testing.assert_frame_equal(_corpus_pdf(inc), _corpus_pdf(full))
+    stage = M.read_results(spark, stage_dir)
+    assert stage.filter(F.col("conv_id") == vid).count() == 0

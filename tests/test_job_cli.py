@@ -307,3 +307,14 @@ def test_corpus_incremental_cli(spark, input_dir, tmp_path_factory, capsys):
         .toPandas().sort_values("conv_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+    # certification interop: the full-rebuild CLI accepts the same output
+    # catalog (identical hash_cols/sum_col stats block)
+    import run_corpus_pipeline
+
+    rc = run_corpus_pipeline.main(
+        ["--input", upd_dir, "--output", out, "--n-buckets", "4"],
+        spark=spark,
+    )
+    assert rc == 0
+    capsys.readouterr()

@@ -1018,3 +1018,40 @@ def test_stream_commit_refuses_batch_commit_mid_epoch(
     m = M.load_manifest(out)
     assert all("/" not in k for k in m["buckets"])
     assert M._catalog_origin(m) == "batch"
+
+
+def test_legacy_catalog_refuses_any_layout_change(
+    spark, sdf, tmp_path_factory
+):
+    """Pre-n_buckets manifests (no recorded layout): BOTH grow and shrink
+    are refused — a same-snapshot grow would skip old-layout done buckets
+    while re-hashing rows mod the new count (double emission)."""
+    import json as _json
+
+    out = str(tmp_path_factory.mktemp("legacy_layout"))
+    M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4)
+    # simulate a legacy manifest: strip the recorded layout
+    cur = M.current_version(out)
+    path = M._manifest_path(out, cur)
+    m = _json.load(open(path))
+    del m["n_buckets"]
+    import os as _os
+    _os.remove(path)
+    M._fsync_write(path, _json.dumps(m, sort_keys=True))
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        M.run_extraction_job_atomic(spark, sdf, out, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        M.run_extraction_job_atomic(spark, sdf, out, n_buckets=2)
+    # the inferred layout still works; a REAL commit (changed snapshot)
+    # re-records it (a no-op resume writes no new manifest version)
+    from marie_icr_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    extra = spark.createDataFrame(
+        [("zz-new-conv", 0, "user", "plain new text", None, None)],
+        TRANSCRIPT_SCHEMA,
+    )
+    M.run_extraction_job_atomic(
+        spark, sdf.unionByName(extra), out, n_buckets=4
+    )
+    assert M.load_manifest(out)["n_buckets"] == 4

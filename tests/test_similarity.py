@@ -137,6 +137,9 @@ def test_lsh_bucket_degrades_on_null_and_ragged_vectors(spark):
         Row(vec_id=1, embedding=[0.5] * EMB_DIM),
         Row(vec_id=2, embedding=None),
         Row(vec_id=3, embedding=[0.5] * (EMB_DIM - 3)),
+        # null ELEMENT: arrives as NaN float64 in the UDF; NaN->int64
+        # would be INT64_MIN garbage without the finite guard
+        Row(vec_id=4, embedding=[0.5] * (EMB_DIM - 1) + [None]),
     ]
     df = spark.createDataFrame(
         rows, "vec_id int, embedding array<double>"
@@ -147,4 +150,5 @@ def test_lsh_bucket_degrades_on_null_and_ragged_vectors(spark):
     }
     assert got[2] == [0, 0, 0, 0]
     assert got[3] == [0, 0, 0, 0]
+    assert got[4] == [0, 0, 0, 0]
     assert len(got[1]) == 4 and any(b != 0 for b in got[1])

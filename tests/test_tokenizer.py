@@ -184,3 +184,21 @@ def test_pack_subword_exact_coverage(spark):
     for pid, tot in per_pack.items():
         assert tot == ctx or pid == last, (pid, tot)
     assert sum(per_pack.values()) == sum(counts.values())
+
+
+def test_whitespace_class_cross_engine_exact():
+    """The tokenizer's ASCII-\\s class must agree with BOTH engines'
+    tokenization: Spark ws_tokens uses Java \\s ([ \\t\\n\\x0b\\f\\r])
+    and the oracle SQL spells the same class out (RE2's \\s lacks \\x0b
+    — the latent divergence this test pins closed)."""
+    import duckdb
+
+    from marie_icr_spark.extractors.subword import _ASCII_WS
+    from marie_icr_spark.functions.columns import WS_TOKENS_SQL
+
+    hostile = "a\x0bb\tc\nd\fe\rf g\xa0h"
+    py = _ASCII_WS.sub(" ", hostile.strip(" ")).split(" ")
+    sql = duckdb.sql(
+        "SELECT " + WS_TOKENS_SQL.format(e="'" + hostile + "'")
+    ).fetchall()[0][0]
+    assert list(sql) == py == ["a", "b", "c", "d", "e", "f", "g\xa0h"]
