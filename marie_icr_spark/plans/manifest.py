@@ -698,6 +698,16 @@ def run_extraction_job_atomic(
             "catalog contains streaming epoch-scoped commits; run "
             "compact() first to collapse it to a plain bucket layout"
         )
+    if manifest.get("stats") not in (None, DEFAULT_STATS):
+        # the symmetric guard to commit_table's: extraction entries are
+        # certified with DEFAULT_STATS columns; committing them into a
+        # generic-certified table would carry its stats/schema blocks over
+        # entries they don't describe (and wedge every later compact)
+        raise ValueError(
+            f"catalog at {output_dir} is certified with stats columns "
+            f"{manifest['stats']}; the extraction job refuses to mix "
+            "certifications (vacuum/recreate the table)"
+        )
     prev_n = manifest.get("n_buckets")
     if prev_n is not None and int(prev_n) != int(n_buckets):
         # a different bucket layout does NOT supersede key-by-key: rows
@@ -731,16 +741,6 @@ def run_extraction_job_atomic(
             )
     manifest["n_buckets"] = int(n_buckets)
     manifest["origin"] = "batch"
-    if manifest.get("stats") not in (None, DEFAULT_STATS):
-        # the symmetric guard to commit_table's: extraction entries are
-        # certified with DEFAULT_STATS columns; committing them into a
-        # generic-certified table would carry its stats/schema blocks over
-        # entries they don't describe (and wedge every later compact)
-        raise ValueError(
-            f"catalog at {output_dir} is certified with stats columns "
-            f"{manifest['stats']}; the extraction job refuses to mix "
-            "certifications (vacuum/recreate the table)"
-        )
     done = {
         int(b)
         for b, e in manifest["buckets"].items()
