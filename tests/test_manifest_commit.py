@@ -1055,3 +1055,54 @@ def test_legacy_catalog_refuses_any_layout_change(
         spark, sdf.unionByName(extra), out, n_buckets=4
     )
     assert M.load_manifest(out)["n_buckets"] == 4
+
+
+def test_vacuum_grace_covers_roll_forwarded_supersede(
+    spark, sdf, tmp_path_factory
+):
+    """A successor manifest WRITTEN long ago but PUBLISHED just now (by
+    roll-forward) must not age out its predecessor's data: readers kept
+    loading the predecessor as CURRENT until the flip, so the grace
+    window runs from the publish (CURRENT mtime), not the write."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.operators.extraction import extract_turns
+
+    out = str(tmp_path_factory.mktemp("vacuum_rollfwd"))
+    batch = extract_turns(sdf).select("conv_id", "turn_idx", "span_count")
+    kw = dict(key_col="conv_id", n_buckets=4,
+              hash_cols=("conv_id", "turn_idx"))
+    M.commit_table(batch, out, **kw)                     # v1
+    n_v1 = batch.count()
+    half = F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0
+    M.commit_table(batch.filter(half), out, **kw)        # v2 (supersedes v1)
+
+    # simulate: v2 was WRITTEN an hour ago but only published now — age
+    # the manifest file and the superseded run dirs, then re-point
+    # CURRENT at v1 and let vacuum's own roll-forward re-publish v2
+    old = _time.time() - 3600
+    _os.utime(M._manifest_path(out, 2), (old, old))
+    data = _os.path.join(out, "data")
+    for rid in _os.listdir(data):
+        p = _os.path.join(data, rid)
+        _os.utime(p, (old, old))
+        for root, _dirs, files in _os.walk(p):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (old, old))
+    cdir = M._commit_dir(out)
+    cur = _os.path.join(cdir, M._CURRENT)
+    with open(cur, "w") as fh:
+        fh.write("1")
+
+    removed = M.vacuum(out, min_age_seconds=600)
+    # roll-forward published v2 (CURRENT mtime = now), so v1 counts as
+    # superseded only just now: its manifest AND run dir must survive
+    assert removed == []
+    assert M.read_results(spark, out, version=1).count() == n_v1
+    assert M.current_version(out) == 2
+    # age-blind vacuum then reclaims v1
+    removed2 = M.vacuum(out)
+    assert any("manifest-v1" in p for p in removed2)
