@@ -3630,3 +3630,96 @@ def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES["corpus_incremental"] = q_corpus_incremental
 EXT_ORACLES["corpus_incremental"] = ORACLE_CORPUS_PIPELINE
+
+
+# ---------------------------------------------------------------------------
+# Mislabeled-token span merge (N5 / B5): horizontally-overlapping same-label
+# spans chain-merge into envelope spans (the interval-merge twin of
+# ner_extraction_executor.py:550-599 / boxmath merge_boxes). Spans derive
+# deterministically from documents (one span per word; x unique within a
+# (doc, line) by construction so window order is tie-free cross-engine),
+# and the oracle replays the running-max chain flag + cumsum group id.
+# ---------------------------------------------------------------------------
+
+
+def q_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.columns import portable_hash31, ws_tokens
+    from .operators.kv import merge_spans_horizontal
+
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.posexplode(ws_tokens(F.col("text"))).alias("wi", "word"),
+    )
+    h = portable_hash31(F.concat_ws(":", "word", F.col("wi").cast("string")))
+    spans = words.select(
+        "doc_id",
+        (F.col("wi") / 10).cast("int").alias("line_no"),
+        F.when(portable_hash31(F.col("word")) % 2 == 0, F.lit("key"))
+        .otherwise(F.lit("value"))
+        .alias("label"),
+        (F.pmod(F.col("wi"), F.lit(10)) * 500).cast("int").alias("x"),
+        ((F.col("wi") / 10).cast("int") * 20).cast("int").alias("y"),
+        (100 + h % 900).cast("int").alias("w"),
+        (10 + h % 15).cast("int").alias("h"),
+        F.col("word").alias("span_text"),
+        (h % 1000).cast("long").alias("score"),
+    )
+    return merge_spans_horizontal(spans).select(
+        "doc_id", "line_no", "label", "group_id", "span_text",
+        "x", "y", "w", "h", F.col("score").cast("long").alias("score"),
+    )
+
+
+def _span_merge_oracle_sql() -> str:
+    toks = _TOKENS_SQL.format(e="text")
+    h = portable_hash31_sql("word || ':' || CAST(wi AS VARCHAR)")
+    hw = portable_hash31_sql("word")
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(w) AS word,
+         CAST(unnest(range(len(w))) AS INTEGER) AS wi
+  FROM (SELECT doc_id, {toks} AS w FROM documents)
+),
+spans AS (
+  SELECT doc_id,
+         CAST(wi // 10 AS INTEGER) AS line_no,
+         CASE WHEN ({hw}) % 2 = 0 THEN 'key' ELSE 'value' END AS "label",
+         CAST((wi % 10) * 500 AS INTEGER) AS x,
+         CAST((wi // 10) * 20 AS INTEGER) AS y,
+         CAST(100 + ({h}) % 900 AS INTEGER) AS w,
+         CAST(10 + ({h}) % 15 AS INTEGER) AS h,
+         word AS span_text,
+         CAST(({h}) % 1000 AS BIGINT) AS score
+  FROM words
+),
+flag AS (
+  SELECT *,
+         max(x + w) OVER (PARTITION BY doc_id, line_no, "label"
+                          ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM spans
+),
+grp AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN pm IS NULL OR x >= pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id, line_no, "label" ORDER BY x
+                    ROWS UNBOUNDED PRECEDING) AS INTEGER) AS group_id
+  FROM flag
+)
+SELECT doc_id, line_no, "label", group_id,
+       string_agg(span_text, ' ' ORDER BY x) AS span_text,
+       CAST(MIN(x) AS INTEGER) AS x, CAST(MIN(y) AS INTEGER) AS y,
+       CAST(MAX(x + w) - MIN(x) AS INTEGER) AS w,
+       CAST(MAX(y + h) - MIN(y) AS INTEGER) AS h,
+       CAST(MAX(score) AS BIGINT) AS score
+FROM grp
+GROUP BY doc_id, line_no, "label", group_id
+"""
+
+
+ORACLE_SPAN_MERGE = _span_merge_oracle_sql()
+
+EXT_QUERIES["span_merge"] = q_span_merge
+EXT_ORACLES["span_merge"] = ORACLE_SPAN_MERGE

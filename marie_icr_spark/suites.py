@@ -616,3 +616,81 @@ MERGED_MEMBERS = frozenset(
         "length_histogram",
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# kv_suite: entity-span aggregation, KV pairing, and the mislabeled-token
+# interval merge (N4/N6/N5) — the key-value extraction family.
+# ---------------------------------------------------------------------------
+
+def q_kv_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    es = X.q_entity_spans(spark, sf_dir).select(
+        _m("entity_spans"), "doc_id", "line_no",
+        F.col("span_id").cast("string").alias("k"),
+        "label", F.col("span_text").alias("txt"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("w").cast("long").alias("v1"),
+        F.col("h").cast("long").alias("v2"),
+        F.col("n_tokens").cast("long").alias("v3"),
+        "score",
+    )
+    kv = X.q_kv_pairs(spark, sf_dir).select(
+        _m("kv_pairs"), "doc_id", "line_no",
+        F.col("key_text").alias("k"), ns.alias("label"),
+        F.col("value_text").alias("txt"),
+        F.col("key_x").cast("long").alias("x"),
+        F.col("value_x").cast("long").alias("y"),
+        nl.alias("v1"), nl.alias("v2"), nl.alias("v3"), nd.alias("score"),
+    )
+    sm = X.q_span_merge(spark, sf_dir).select(
+        _m("span_merge"), "doc_id", "line_no",
+        F.col("group_id").cast("string").alias("k"),
+        "label", F.col("span_text").alias("txt"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.col("w").cast("long").alias("v1"),
+        F.col("h").cast("long").alias("v2"),
+        nl.alias("v3"),
+        F.col("score").cast("double").alias("score"),  # < 1000: exact
+    )
+    return es.unionByName(kv).unionByName(sm)
+
+
+ORACLE_KV_SUITE = "\nUNION ALL\n".join(
+    [
+        _wrap(
+            "entity_spans",
+            "doc_id, line_no, CAST(span_id AS VARCHAR) AS k, \"label\", "
+            "span_text AS txt, CAST(x AS BIGINT) AS x, "
+            "CAST(y AS BIGINT) AS y, CAST(w AS BIGINT) AS v1, "
+            "CAST(h AS BIGINT) AS v2, CAST(n_tokens AS BIGINT) AS v3, score",
+            X.ORACLE_ENTITY_SPANS,
+        ),
+        _wrap(
+            "kv_pairs",
+            "doc_id, line_no, key_text AS k, CAST(NULL AS VARCHAR) AS "
+            '"label", value_text AS txt, CAST(key_x AS BIGINT) AS x, '
+            "CAST(value_x AS BIGINT) AS y, CAST(NULL AS BIGINT) AS v1, "
+            "CAST(NULL AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3, "
+            "CAST(NULL AS DOUBLE) AS score",
+            X.ORACLE_KV_PAIRS,
+        ),
+        _wrap(
+            "span_merge",
+            "doc_id, line_no, CAST(group_id AS VARCHAR) AS k, \"label\", "
+            "span_text AS txt, CAST(x AS BIGINT) AS x, "
+            "CAST(y AS BIGINT) AS y, CAST(w AS BIGINT) AS v1, "
+            "CAST(h AS BIGINT) AS v2, CAST(NULL AS BIGINT) AS v3, "
+            "CAST(score AS DOUBLE) AS score",
+            X.ORACLE_SPAN_MERGE,
+        ),
+    ]
+)
+
+SUITE_QUERIES["kv_suite"] = q_kv_suite
+SUITE_ORACLES["kv_suite"] = ORACLE_KV_SUITE
+MERGED_MEMBERS = MERGED_MEMBERS | {"entity_spans", "kv_pairs", "span_merge"}
