@@ -14,15 +14,19 @@ Decode dispatches on container magic. REAL pure-stdlib decoders cover:
               unfiltering, ``decode_png_pixels``) feeding the same
               ``media_pixel_stats``
 * BMP       — BITMAPINFOHEADER dimensions
-* JPEG      — SOF0/1/2 frame dimensions (marker scan)
+* JPEG      — SOF0/1/2 frame dimensions (marker scan); PLUS full
+              baseline pixel decode (``decode_jpeg_pixels``: Huffman →
+              dequant → orthonormal IDCT → chroma upsample → YCbCr→RGB;
+              SOF0/SOF1, any standard sampling, restart intervals)
 * WAV       — channels / sample rate / frame count via stdlib ``wave``
               (mapped as width=n_channels, height=sample_rate)
 
-JPEG *pixel* decode (DCT) and video codecs would need PIL/ffmpeg, which are
-not in this container — those, and unknown magics, raise
-``NotImplementedError`` and fail open as (ok=False, error) rows; PNG
-variants outside the supported set (16-bit, palette, Adam7) fail open the
-same way in the pixel path while still decoding dimensions.
+Video codecs would need ffmpeg, which is not in this container — those,
+and unknown magics, raise ``NotImplementedError`` and fail open as
+(ok=False, error) rows; PNG variants outside the supported set (16-bit,
+palette, Adam7) and JPEG variants outside baseline (progressive,
+arithmetic, 16-bit quant) fail open the same way in the pixel path while
+still decoding dimensions.
 
 Fake header format (tests): b"FAKE" + kind(1B: I/A/V) + width(4B LE) +
 height(4B LE) + nframes(4B LE) + payload.
@@ -578,8 +582,9 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _rgb_image(content: bytes):
-    """(height, width, 3) uint8 RGB array from a PPM or decodable PNG;
-    None otherwise (same coverage as :func:`_rgb_pixels`, dims kept)."""
+    """(height, width, 3) uint8 RGB array from a PPM, decodable PNG, or
+    baseline JPEG; None otherwise (same coverage as :func:`_rgb_pixels`,
+    dims kept)."""
     import numpy as np
 
     hdr = parse_ppm_header(content)
@@ -590,16 +595,16 @@ def _rgb_image(content: bytes):
         if len(buf) < need or need == 0:
             return None
         return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+    px = None
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         px = decode_png_pixels(content)
-        if px is None or px.size == 0:
-            return None
-        if px.shape[2] >= 3:
-            return px[:, :, :3]
-        import numpy as np
-
-        return np.repeat(px[:, :, :1], 3, axis=2)
-    return None
+    elif content[:2] == b"\xff\xd8":
+        px = decode_jpeg_pixels(content)
+    if px is None or px.size == 0:
+        return None
+    if px.shape[2] >= 3:
+        return px[:, :, :3]
+    return np.repeat(px[:, :, :1], 3, axis=2)
 
 
 def resize_media(
@@ -655,3 +660,269 @@ def resize_media(
     return df.select("asset_id", "media_type", "content").mapInPandas(
         run, schema=RESIZED_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG pixel decode (pure stdlib+numpy; closes the dims-only JPEG
+# caveat). Scope: baseline/extended-sequential Huffman (SOF0/SOF1), 8-bit
+# samples, interleaved single scan, grayscale or YCbCr with any standard
+# sampling (4:4:4 / 4:2:2 / 4:2:0), restart intervals. Progressive (SOF2),
+# arithmetic coding, 16-bit quant tables and hierarchical streams return
+# None — the documented fail-open path (the reference delegates this to
+# PIL, marie/utils/docs.py:372-380; at cluster scale a native codec slots
+# into the same function).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_basis():
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for k in range(8):
+            a[u, k] = (c / 2.0) * math.cos((2 * k + 1) * u * math.pi / 16.0)
+    return a
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: (length, code) → symbol."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, bits: bytes, vals: bytes):
+        self.lut = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.lut[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-coded segment reader: un-stuffs 0xFF00, stops at markers."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn inside _fill = decoder bug
+                raise ValueError("unexpected RST")
+            else:
+                raise ValueError("marker in entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+    def align_restart(self):
+        """Byte-align and consume one RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        # tolerate fill bytes before the marker
+        while d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("missing RST marker")
+        self.pos += 2
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_pixels(content: bytes):
+    """Baseline JPEG → (height, width, channels) uint8 ndarray (channels 1
+    for grayscale, 3 for YCbCr→RGB), or None for malformed/unsupported
+    streams (progressive, arithmetic, 16-bit quant)."""
+    import numpy as np
+
+    try:
+        if content[:2] != b"\xff\xd8":
+            return None
+        data = bytes(content)
+        n = len(data)
+        qt: dict[int, list[int]] = {}
+        huff_dc: dict[int, _HuffTable] = {}
+        huff_ac: dict[int, _HuffTable] = {}
+        frame = None  # (w, h, comps) comps: (cid, hs, vs, tq)
+        restart = 0
+        i = 2
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0xD9:  # EOI
+                return None  # no scan seen
+            seg = struct.unpack_from(">H", data, i + 2)[0]
+            body = data[i + 4 : i + 2 + seg]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit table
+                    qt[tq] = list(body[p + 1 : p + 65])
+                    p += 65
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p + 17 <= len(body):
+                    tc, th = body[p] >> 4, body[p] & 0xF
+                    bits = body[p + 1 : p + 17]
+                    cnt = sum(bits)
+                    vals = body[p + 17 : p + 17 + cnt]
+                    (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                        bits, vals
+                    )
+                    p += 17 + cnt
+            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/ext sequential
+                if body[0] != 8:
+                    return None
+                h, w = struct.unpack_from(">HH", body, 1)
+                nc = body[5]
+                comps = []
+                for c in range(nc):
+                    cid = body[6 + 3 * c]
+                    hv = body[7 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 0xF, body[8 + 3 * c]))
+                frame = (w, h, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / hierarchical
+            elif marker == 0xDD:  # DRI
+                restart = struct.unpack_from(">H", body, 0)[0]
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                w, h, comps = frame
+                ns = body[0]
+                sel = {}
+                for s in range(ns):
+                    cs = body[1 + 2 * s]
+                    td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 0xF
+                    sel[cs] = (td, ta)
+                if {c[0] for c in comps} != set(sel):
+                    return None  # multi-scan not supported
+                return _decode_scan(
+                    data, i + 2 + seg, w, h, comps, sel, qt,
+                    huff_dc, huff_ac, restart, np,
+                )
+            i += 2 + seg
+        return None
+    except (ValueError, IndexError, KeyError, struct.error):
+        return None
+
+
+def _decode_scan(data, pos, w, h, comps, sel, qt, huff_dc, huff_ac,
+                 restart, np):
+    basis = _idct_basis()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for cid, hs, vs, _tq in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int32)
+    rd = _BitReader(data, pos)
+    pred = {c[0]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                rd.align_restart()
+                pred = {c[0]: 0 for c in comps}
+            for cid, hs, vs, tq in comps:
+                dct, act = sel[cid]
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = np.zeros(64, dtype=np.int64)
+                        size = rd.decode(huff_dc[dct])
+                        diff = (
+                            _extend(rd.read_bits(size), size) if size else 0
+                        )
+                        pred[cid] += diff
+                        blk[0] = pred[cid] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = rd.decode(huff_ac[act])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC overflow")
+                            blk[k] = _extend(rd.read_bits(s), s) * q[k]
+                            k += 1
+                        m = np.zeros((8, 8))
+                        m.flat[_ZIGZAG] = blk
+                        px = basis.T @ m @ basis + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                            np.round(px), 0, 255
+                        ).astype(np.int32)
+            mcu_count += 1
+    # upsample to full resolution (pixel replication) and crop
+    full = []
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return full[0].astype(np.uint8)[:, :, None]
+    if len(full) != 3:
+        return None
+    y, cb, cr = (f.astype(np.float64) for f in full)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
