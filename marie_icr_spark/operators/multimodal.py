@@ -906,8 +906,10 @@ def _decode_scan(data, pos, w, h, comps, sel, qt, huff_dc, huff_ac,
                         px = basis.T @ m @ basis + 128.0
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
+                        # floor(x + .5): pinned half-UP rounding (libjpeg's
+                        # descale), identical in SQL — no half-even ties
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
-                            np.round(px), 0, 255
+                            np.floor(px + 0.5), 0, 255
                         ).astype(np.int32)
             mcu_count += 1
     # upsample to full resolution (pixel replication) and crop
@@ -925,4 +927,74 @@ def _decode_scan(data, pos, w, h, comps, sel, qt, huff_dc, huff_ac,
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def encode_flat_jpeg(y: int, cb: int, cr: int) -> bytes:
+    """Test-fixture/oracle encoder: one 8×8 4:4:4 baseline JPEG whose
+    three components are FLAT at (y, cb, cr) — DC-only blocks under
+    all-ones quant tables, so the decoded pixels are exactly
+    clip(floor(channel + .5)) of the JFIF YCbCr→RGB formulas (the
+    ``jpeg_pixel_stats`` oracle replays that math in SQL). Minimal
+    canonical Huffman tables are emitted in the stream's own DHT."""
+    dc_bits = [0, 0, 0, 12] + [0] * 12           # 12 DC sizes at length 4
+    dc_vals = list(range(12))
+    ac_bits = [0, 1] + [0] * 14                  # EOB alone, length 2
+    ac_vals = [0x00]
+
+    def codes(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_code, ac_code = codes(dc_bits, dc_vals), codes(ac_bits, ac_vals)
+    bitbuf: list[int] = []
+
+    def put(value, n):
+        for i in range(n - 1, -1, -1):
+            bitbuf.append((value >> i) & 1)
+
+    for v in (y, cb, cr):
+        dc = 8 * (int(v) - 128)                  # orthonormal DCT of flat
+        size = abs(dc).bit_length()
+        ln, code = dc_code[size]
+        put(code, ln)
+        if size:
+            put(dc if dc > 0 else dc + (1 << size) - 1, size)
+        ln, code = ac_code[0x00]
+        put(code, ln)                            # EOB
+    while len(bitbuf) % 8:
+        bitbuf.append(1)                         # 1-fill pad
+    ent = bytearray()
+    for i in range(0, len(bitbuf), 8):
+        b = 0
+        for bit in bitbuf[i : i + 8]:
+            b = (b << 1) | bit
+        ent.append(b)
+        if b == 0xFF:
+            ent.append(0x00)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xC0, sof)
+    dht = (
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    )
+    out += seg(0xC4, dht)
+    sos = bytes([3]) + b"\x01\x00\x02\x00\x03\x00" + bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += ent
+    out += b"\xff\xd9"
+    return bytes(out)

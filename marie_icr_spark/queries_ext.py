@@ -3723,3 +3723,94 @@ ORACLE_SPAN_MERGE = _span_merge_oracle_sql()
 
 EXT_QUERIES["span_merge"] = q_span_merge
 EXT_ORACLES["span_merge"] = ORACLE_SPAN_MERGE
+
+
+# ---------------------------------------------------------------------------
+# JPEG pixel decode under the driver gate: flat-block baseline JPEGs are
+# synthesized per document (YCbCr derived from doc_id by integer math), the
+# REAL decoder (Huffman → IDCT → YCbCr→RGB, multimodal.decode_jpeg_pixels)
+# recovers the pixels, and the oracle replays the exact pinned math —
+# floor(channel + .5) of the JFIF formulas — in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_ycc_exprs(doc_id: str) -> tuple[str, str, str]:
+    return (
+        f"(7 * {doc_id} + 31) % 256",
+        f"128 + (13 * {doc_id}) % 80 - 40",
+        f"128 + (19 * {doc_id}) % 80 - 40",
+    )
+
+
+def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import encode_flat_jpeg, media_pixel_stats
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                rows.append(
+                    (
+                        str(d),
+                        "image/jpeg",
+                        encode_flat_jpeg(
+                            (7 * d + 31) % 256,
+                            128 + (13 * d) % 80 - 40,
+                            128 + (19 * d) % 80 - 40,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "media_type", "content"]
+            )
+
+    assets = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(
+            make, "asset_id string, media_type string, content binary"
+        )
+    )
+    return media_pixel_stats(assets).filter(F.col("ok")).select(
+        F.col("asset_id").cast("long").alias("doc_id"),
+        "mean_r", "mean_g", "mean_b", "min_lum", "max_lum",
+    )
+
+
+def _jpeg_pixel_oracle_sql() -> str:
+    yv, cbv, crv = _jpeg_ycc_exprs("doc_id")
+    rgb = {
+        "r": f"({yv}) + 1.402 * (({crv}) - 128)",
+        "g": (
+            f"({yv}) - 0.344136 * (({cbv}) - 128)"
+            f" - 0.714136 * (({crv}) - 128)"
+        ),
+        "b": f"({yv}) + 1.772 * (({cbv}) - 128)",
+    }
+    ch = ",\n         ".join(
+        f"least(greatest(floor(({e}) + 0.5), 0), 255) AS {c}"
+        for c, e in rgb.items()
+    )
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         {ch}
+  FROM documents)
+SELECT doc_id,
+       CAST(r AS DOUBLE) AS mean_r, CAST(g AS DOUBLE) AS mean_g,
+       CAST(b AS DOUBLE) AS mean_b,
+       CAST((299 * CAST(r AS BIGINT) + 587 * CAST(g AS BIGINT)
+             + 114 * CAST(b AS BIGINT)) // 1000 AS INTEGER) AS min_lum,
+       CAST((299 * CAST(r AS BIGINT) + 587 * CAST(g AS BIGINT)
+             + 114 * CAST(b AS BIGINT)) // 1000 AS INTEGER) AS max_lum
+FROM px
+"""
+
+
+ORACLE_JPEG_PIXEL_STATS = _jpeg_pixel_oracle_sql()
+
+EXT_QUERIES["jpeg_pixel_stats"] = q_jpeg_pixel_stats
+EXT_ORACLES["jpeg_pixel_stats"] = ORACLE_JPEG_PIXEL_STATS

@@ -300,13 +300,17 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsz = X.q_resize_pixel_stats(spark, sf_dir).select(
         _m("resize_pixel_stats"), *_MEDIA_COLS.split(", ")
     )
-    return png.unionByName(rsz)
+    jpg = X.q_jpeg_pixel_stats(spark, sf_dir).select(
+        _m("jpeg_pixel_stats"), *_MEDIA_COLS.split(", ")
+    )
+    return png.unionByName(rsz).unionByName(jpg)
 
 
 ORACLE_MEDIA_SUITE = "\nUNION ALL\n".join(
     [
         _wrap("png_pixel_stats", _MEDIA_COLS, X.ORACLE_PNG_PIXEL_STATS),
         _wrap("resize_pixel_stats", _MEDIA_COLS, X.ORACLE_RESIZE_PIXEL_STATS),
+        _wrap("jpeg_pixel_stats", _MEDIA_COLS, X.ORACLE_JPEG_PIXEL_STATS),
     ]
 )
 
@@ -606,7 +610,7 @@ MERGED_MEMBERS = frozenset(
         "doc_fingerprint", "simhash",
         "blob_xml", "adlib_xml",
         "classify_stub", "classify_routed",
-        "png_pixel_stats", "resize_pixel_stats",
+        "png_pixel_stats", "resize_pixel_stats", "jpeg_pixel_stats",
         "atomic_commit_roundtrip", "stream_atomic_commit",
         "compaction_roundtrip",
         "stream_kind_counts", "stream_conv_state", "stream_sessionize",

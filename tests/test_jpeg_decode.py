@@ -154,7 +154,8 @@ def _expected_from_zz(zz):
     a = _idct_basis()
     m = np.zeros((8, 8))
     m.flat[_ZIGZAG] = zz
-    return np.clip(np.round(a.T @ m @ a + 128.0), 0, 255).astype(np.uint8)
+    return np.clip(np.floor(a.T @ m @ a + 128.0 + 0.5), 0, 255).astype(
+        np.uint8)
 
 
 def test_grayscale_flat_blocks_and_dc_prediction():
@@ -189,11 +190,11 @@ def test_color_444_flat():
     )
     px = decode_jpeg_pixels(jpg)
     assert px is not None and px.shape == (8, 8, 3)
-    want = np.clip(np.round([
+    want = np.clip(np.floor(np.array([
         y + 1.402 * (cr - 128),
         y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
         y + 1.772 * (cb - 128),
-    ]), 0, 255).astype(np.uint8)
+    ]) + 0.5), 0, 255).astype(np.uint8)
     assert (px == want[None, None, :]).all()
 
 
@@ -206,11 +207,11 @@ def test_color_420_subsampled_flat():
     )
     px = decode_jpeg_pixels(jpg)
     assert px is not None and px.shape == (16, 16, 3)
-    want = np.clip(np.round([
+    want = np.clip(np.floor(np.array([
         y + 1.402 * (cr - 128),
         y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
         y + 1.772 * (cb - 128),
-    ]), 0, 255).astype(np.uint8)
+    ]) + 0.5), 0, 255).astype(np.uint8)
     assert (px == want[None, None, :]).all()
 
 
@@ -259,11 +260,11 @@ def test_pipeline_integration_pixel_stats_and_resize(spark):
         [Row(asset_id="j1", media_type="image/jpeg", content=bytearray(jpg))]
     )
     got = media_pixel_stats(df).collect()[0]
-    want = np.clip(np.round([
+    want = np.clip(np.floor(np.array([
         y + 1.402 * (cr - 128),
         y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
         y + 1.772 * (cb - 128),
-    ]), 0, 255)
+    ]) + 0.5), 0, 255)
     assert got["ok"]
     assert got["mean_r"] == pytest.approx(want[0])
     assert got["mean_g"] == pytest.approx(want[1])
