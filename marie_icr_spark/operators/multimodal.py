@@ -320,10 +320,12 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 def media_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL pixel-level feature extraction for decodable bitmap assets —
-    raw PPM (P6) and 8-bit non-interlaced PNG (full stdlib-zlib inflate +
-    spec unfiltering, :func:`decode_png_pixels`): per-channel means and
-    integer luminance range, numpy over the decoded buffer inside
-    Arrow-batched mapInPandas. Other containers emit ok=False."""
+    raw PPM (P6), 8-bit non-interlaced PNG (full stdlib-zlib inflate +
+    spec unfiltering, :func:`decode_png_pixels`), and baseline
+    Huffman-coded JPEG (:func:`decode_jpeg_pixels` via :func:`_rgb_pixels`):
+    per-channel means and integer luminance range, numpy over the decoded
+    buffer inside Arrow-batched mapInPandas. Other containers emit
+    ok=False."""
 
     import numpy as np
 
@@ -794,6 +796,13 @@ def decode_jpeg_pixels(content: bytes):
         i = 2
         while i + 4 <= n:
             if data[i] != 0xFF:
+                return None
+            # The spec allows any number of 0xFF fill bytes before a
+            # marker byte — skip them or the next byte parses as a
+            # garbage segment length.
+            while i + 1 < n and data[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > n:
                 return None
             marker = data[i + 1]
             if marker == 0xD9:  # EOI

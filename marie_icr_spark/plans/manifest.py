@@ -150,10 +150,11 @@ def _catalog_origin(manifest: dict) -> str | None:
         return o
     if any("/" in k for k in manifest["buckets"]):
         return "stream"
-    if any(
-        e["run_id"] is not None and not str(e["run_id"]).startswith("compact-")
-        for e in manifest["buckets"].values()
-    ):
+    # Any live plain-key bucket — even one whose run_id is a 'compact-*'
+    # rewrite of pre-origin batch data — means a non-stream writer owns
+    # this catalog: streaming epoch keys landing beside those plain keys
+    # would double-emit the same rows, so the stream guard must refuse.
+    if any(e["run_id"] is not None for e in manifest["buckets"].values()):
         return "batch"
     return None
 

@@ -3518,7 +3518,9 @@ SELECT w.doc_id, CAST(w.k AS INTEGER) AS window_idx,
        CAST(w.n_tokens AS INTEGER) AS n_tokens,
        CAST(w.window_fp AS BIGINT) AS window_fp,
        r.l AS "label",
-       (floor(r.raw / r.tot * 1000000.0 + 0.5) / 1000000.0) AS score,
+       (CASE WHEN r.tot != 0
+             THEN floor(r.raw / r.tot * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END) AS score,
        CAST(r.raw AS BIGINT) AS raw_best, CAST(r.tot AS BIGINT) AS raw_total
 FROM win w JOIN rk r ON r.doc_id = w.doc_id AND r.k = w.k AND r.rn = 1
 """
