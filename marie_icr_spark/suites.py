@@ -698,3 +698,58 @@ ORACLE_KV_SUITE = "\nUNION ALL\n".join(
 SUITE_QUERIES["kv_suite"] = q_kv_suite
 SUITE_ORACLES["kv_suite"] = ORACLE_KV_SUITE
 MERGED_MEMBERS = MERGED_MEMBERS | {"entity_spans", "kv_pairs", "span_merge"}
+
+
+# ---------------------------------------------------------------------------
+# template_suite: composite template/selector matching (B10 deep form) —
+# meta matcher, composite±break_on_match with GREEDYNMM, and the
+# best-per-selector anchor cut.  Golden: extractors/templatematch.py.
+# ---------------------------------------------------------------------------
+
+def q_template_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import queries_templates as QT
+
+    ns = F.lit(None).cast("string")
+    ni = F.lit(None).cast("int")
+    parts = [
+        QT.q_template_meta(spark, sf_dir).select(
+            _m("template_meta"), "conv_id", "turn_idx", "label",
+            F.col("matched_text").alias("text"),
+            "x", "y", "w", "h", "score", ni.alias("extra"),
+        ),
+        QT.q_template_composite(spark, sf_dir).select(
+            _m("template_composite"), "conv_id", "turn_idx", "label",
+            ns.alias("text"), "x", "y", "w", "h", "score",
+            F.col("n_merged").alias("extra"),
+        ),
+        QT.q_template_composite_break(spark, sf_dir).select(
+            _m("template_composite_break"), "conv_id", "turn_idx", "label",
+            ns.alias("text"), "x", "y", "w", "h", "score",
+            F.col("n_merged").alias("extra"),
+        ),
+        QT.q_template_best_per_selector(spark, sf_dir).select(
+            _m("template_best_per_selector"), "conv_id", "turn_idx",
+            "label", ns.alias("text"), "x", "y", "w", "h", "score",
+            F.col("rank").alias("extra"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _template_suite_oracle() -> str:
+    # single-pass oracle: all four members share one WITH (the candidate
+    # generation + greedy recursions run once, not per member)
+    from . import queries_templates as QT
+
+    return QT.ORACLE_TEMPLATE_SUITE
+
+
+SUITE_QUERIES["template_suite"] = q_template_suite
+SUITE_ORACLES["template_suite"] = _template_suite_oracle()
+MERGED_MEMBERS = MERGED_MEMBERS | {
+    "template_meta", "template_composite", "template_composite_break",
+    "template_best_per_selector",
+}
