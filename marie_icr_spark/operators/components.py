@@ -28,6 +28,13 @@ def _round_checkpoint(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint() if reliable else df.localCheckpoint()
 
 
+# Checkpoint dirs THIS module set on the session (Spark has no way to unset
+# a checkpoint dir, so after one reliable-mode call with no prior dir, ours
+# necessarily stays session-global). A later bare call seeing only such a
+# leftover dir is not a user configuration choice — don't warn on it.
+_SELF_SET_DIRS: set[str] = set()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -46,13 +53,20 @@ def connected_components(
     prev_ckpt_dir = sc.getCheckpointDir()
     if checkpoint_dir is not None:
         sc.setCheckpointDir(checkpoint_dir)
+        if prev_ckpt_dir is None:
+            _SELF_SET_DIRS.add(sc.getCheckpointDir())
     # reliable mode ONLY on explicit request: sniffing the context-global
     # checkpoint dir would silently flip every later call in the session
     # (and leave per-round checkpoint files behind); callers on a real
     # cluster pass checkpoint_dir. spark.cleaner.referenceTracking.
     # cleanCheckpoints (on in session.py) reclaims superseded rounds.
     reliable = checkpoint_dir is not None
-    if not reliable and sc.getCheckpointDir() is not None:
+    cur_dir = sc.getCheckpointDir()
+    if (
+        not reliable
+        and cur_dir is not None
+        and cur_dir not in _SELF_SET_DIRS
+    ):
         import warnings
 
         warnings.warn(
@@ -137,9 +151,18 @@ def _cc_rounds(
     return labels
 
 
-def dedup_groups(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+def dedup_groups(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Near-dup pairs → groups: (vertex, keep_id) where keep_id is the
-    smallest id in the component (the canonical survivor)."""
-    return connected_components(pairs, src, dst).select(
+    smallest id in the component (the canonical survivor).
+    ``checkpoint_dir``: see :func:`connected_components` (pass on a real
+    cluster for executor-loss-safe per-round checkpoints)."""
+    return connected_components(
+        pairs, src, dst, checkpoint_dir=checkpoint_dir
+    ).select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("keep_id")
     )

@@ -10,6 +10,17 @@ built the shuffle-frugal way:
   per key; Spark has no native ASOF join.)
 * ``sessionize`` — gaps-and-islands session ids from inactivity gaps
   (one window shuffle on the key).
+
+Skew note: both operators sort each key's rows inside ONE task (inherent
+to their per-event output contract) — a single pathological key with 10^8
+events lands in one partition. When the consumer only needs *session
+aggregates* (the common case), use ``session_stats_bucketed``: it salts
+the heavy per-event phase across (key, time-bucket) tasks and runs the
+per-key sequential pass over session-level rows only (≪ events). For
+``asof_join`` there is no general escape hatch — an as-of value per left
+row is inherently a per-key ordered scan — but the same time-bucketing
+decomposition applies when left rows only need aggregates of their as-of
+matches.
 """
 
 from __future__ import annotations
@@ -96,6 +107,74 @@ def sessionize(
     ).otherwise(0)
     return events.withColumn(
         "session_id", F.sum(new_session).over(run).cast("int")
+    )
+
+
+def session_stats_bucketed(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_minutes: float = 30.0,
+    bucket_minutes: float = 1440.0,
+) -> DataFrame:
+    """Skew-safe twin of ``session_stats(sessionize(...))`` — identical
+    output ``(key..., session_id, n_events, duration_sec)``, different
+    plan shape:
+
+    1. **Per-event phase shuffles on (key, time bucket)** — a hot key's
+       events spread over ``span / bucket_minutes`` tasks instead of one.
+       Within each bucket, ordinary gaps-and-islands sessionization.
+    2. **Per-(key, bucket, local session) aggregate** — map-side
+       combinable; output is one row per bucket-local session.
+    3. **Per-key sequential pass over SESSION rows only**: adjacent
+       bucket-local sessions merge when the boundary gap is within the
+       threshold (the session-level gap rule reconstructs exactly the
+       maximal event runs), then 1-based renumbering + final aggregate.
+
+    Sessions are maximal runs of events with consecutive gaps <= the
+    threshold; bucketing only ever *splits* runs at bucket edges, and step
+    3 re-joins exactly those splits, so equivalence to the single-window
+    form is structural (and certified by the shared oracle row). The
+    per-key phase touches ``n_sessions`` rows, which for any real gap
+    threshold is orders of magnitude below ``n_events``; the adversarial
+    worst case (every event its own session) degrades to the plain form's
+    cost, never worse.
+    """
+    gap_us = int(gap_minutes * 60) * 1_000_000
+    bucket_us = int(bucket_minutes * 60) * 1_000_000
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(*key_cols, us.alias("_us")).withColumn(
+        "_b", F.floor(F.col("_us") / F.lit(bucket_us))
+    )
+    seq = Window.partitionBy(*key_cols, "_b").orderBy("_us")
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("_us") - F.lag("_us").over(seq)
+    local = ev.withColumn(
+        "_sid",
+        F.sum(
+            F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+        ).over(run),
+    )
+    per_session = local.groupBy(*key_cols, "_b", "_sid").agg(
+        F.min("_us").alias("_first"),
+        F.max("_us").alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    sw = Window.partitionBy(*key_cols).orderBy("_first")
+    srun = sw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sgap = F.col("_first") - F.lag("_last").over(sw)
+    merged = per_session.withColumn(
+        "session_id",
+        F.sum(
+            F.when(sgap.isNull() | (sgap > gap_us), 1).otherwise(0)
+        ).over(srun).cast("int"),
+    )
+    return merged.groupBy(*key_cols, "session_id").agg(
+        F.sum("_n").cast("long").alias("n_events"),
+        ((F.max("_last") - F.min("_first")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("duration_sec"),
     )
 
 

@@ -975,10 +975,26 @@ SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) n_events,
 FROM s GROUP BY user_id, session_id
 """
 
+def q_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase session stats. Oracle is LITERALLY the plain
+    sessionize SQL — the value-hash match is a bucketed == single-window
+    equivalence certificate (same pattern as corpus_incremental)."""
+    from .operators.temporal import session_stats_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    # small bucket (1h) so sf0.01's event span crosses many bucket edges
+    # and the session-merge phase is genuinely exercised
+    return session_stats_bucketed(
+        ev, ["user_id"], "ts", gap_minutes=30, bucket_minutes=60
+    )
+
+
 EXT_QUERIES["asof_join"] = q_asof_join
 EXT_QUERIES["sessionize"] = q_sessionize
+EXT_QUERIES["sessionize_bucketed"] = q_sessionize_bucketed
 EXT_ORACLES["asof_join"] = ORACLE_ASOF_JOIN
 EXT_ORACLES["sessionize"] = ORACLE_SESSIONIZE
+EXT_ORACLES["sessionize_bucketed"] = ORACLE_SESSIONIZE
 
 
 # ---------------------------------------------------------------------------

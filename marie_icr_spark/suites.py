@@ -157,7 +157,16 @@ def q_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("label"),
         F.col("n").alias("v"),
     )
-    return spans.unionByName(topk).unionByName(states)
+    sess = X.q_sessionize_bucketed(spark, sf_dir).select(
+        _m("sessionize_bucketed"),
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"),
+            F.col("session_id").cast("string"),
+        ).alias("k"),
+        F.col("duration_sec").cast("string").alias("label"),
+        F.col("n_events").cast("long").alias("v"),
+    )
+    return spans.unionByName(topk).unionByName(states).unionByName(sess)
 
 
 ORACLE_EVENTS_SUITE = "\nUNION ALL\n".join(
@@ -179,6 +188,13 @@ ORACLE_EVENTS_SUITE = "\nUNION ALL\n".join(
             "state_counts",
             'event_type AS k, CAST(NULL AS VARCHAR) AS "label", n AS v',
             X.ORACLE_STATE_COUNTS,
+        ),
+        _wrap(
+            "sessionize_bucketed",
+            "CAST(user_id AS VARCHAR) || ':' || "
+            "CAST(session_id AS VARCHAR) AS k, "
+            'CAST(duration_sec AS VARCHAR) AS "label", n_events AS v',
+            X.ORACLE_SESSIONIZE,
         ),
     ]
 )
@@ -606,7 +622,7 @@ MERGED_MEMBERS = frozenset(
         "vote_class_abstain", "vote_class_best", "vote_class_best_with_diff",
         "vote_max_score",
         "token_stats", "language_id", "quality_score",
-        "event_spans", "topk_events", "state_counts",
+        "event_spans", "topk_events", "state_counts", "sessionize_bucketed",
         "doc_fingerprint", "simhash",
         "blob_xml", "adlib_xml",
         "classify_stub", "classify_routed",
