@@ -20,6 +20,11 @@ Decode dispatches on container magic. REAL pure-stdlib decoders cover:
               SOF0/SOF1, any standard sampling, restart intervals)
 * WAV       — channels / sample rate / frame count via stdlib ``wave``
               (mapped as width=n_channels, height=sample_rate)
+* TIFF      — multi-page IFD walk (dims + page count for ``decode_media``)
+              PLUS full pixel decode for baseline strips: uncompressed,
+              PackBits, and CCITT Group-4 bilevel (``operators.tiffio``,
+              the reference's archival scan format —
+              marie/utils/docs.py:372-380, extract_pipeline.py:594-604)
 
 Video codecs would need ffmpeg, which is not in this container — those,
 and unknown magics, raise ``NotImplementedError`` and fail open as
@@ -178,6 +183,29 @@ def _decode_jpeg(content: bytes) -> dict:
     return _bad("no jpeg SOF marker")
 
 
+def _decode_tiff(content: bytes) -> dict:
+    """Multi-page TIFF: first-page dimensions, n_frames = page count.
+
+    Container walk only (no pixel decode) — the same dims-first contract as
+    the JPEG/PNG branches; pixel access goes through
+    :func:`tiff_page_stats` / :func:`_rgb_image`."""
+    from . import tiffio
+
+    try:
+        pages = tiffio.tiff_page_info(content)
+    except ValueError as e:
+        return _bad(f"malformed tiff: {e}")
+    if not pages:
+        return _bad("tiff: no pages")
+    first = pages[0]
+    w = first.get(256, [0])[0]
+    h = first.get(257, [0])[0]
+    payload = sum(
+        sum(p.get(279, [])) for p in pages
+    )  # strip bytes across all pages
+    return _ok(w, h, len(pages), payload)
+
+
 def _decode_wav(content: bytes) -> dict:
     try:
         with wave.open(io.BytesIO(bytes(content))) as wv:
@@ -209,6 +237,8 @@ def _decode_one(content: bytes) -> dict:
         return _decode_jpeg(bytes(content))
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return _decode_wav(content)
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(bytes(content))
     # compressed-codec pixel decode / unknown containers need PIL/ffmpeg,
     # which this container does not ship
     raise NotImplementedError(
@@ -322,10 +352,10 @@ def media_pixel_stats(df: DataFrame) -> DataFrame:
     """REAL pixel-level feature extraction for decodable bitmap assets —
     raw PPM (P6), 8-bit non-interlaced PNG (full stdlib-zlib inflate +
     spec unfiltering, :func:`decode_png_pixels`), and baseline
-    Huffman-coded JPEG (:func:`decode_jpeg_pixels` via :func:`_rgb_pixels`):
-    per-channel means and integer luminance range, numpy over the decoded
-    buffer inside Arrow-batched mapInPandas. Other containers emit
-    ok=False."""
+    Huffman-coded JPEG (:func:`decode_jpeg_pixels` via :func:`_rgb_pixels`),
+    and baseline TIFF (first page; ``operators.tiffio``): per-channel means
+    and integer luminance range, numpy over the decoded buffer inside
+    Arrow-batched mapInPandas. Other containers emit ok=False."""
 
     import numpy as np
 
@@ -361,6 +391,66 @@ def media_pixel_stats(df: DataFrame) -> DataFrame:
 
     return df.select("asset_id", "content").mapInPandas(
         run, schema=PIXEL_STATS_SCHEMA
+    )
+
+
+TIFF_PAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("min_lum", T.IntegerType()),
+        T.StructField("max_lum", T.IntegerType()),
+    ]
+)
+
+
+def tiff_page_stats(df: DataFrame) -> DataFrame:
+    """Per-page pixel stats for multi-page TIFF assets — the frame-per-page
+    shape of the reference's ``cv2.imreadmulti`` loader
+    (marie/utils/docs.py:224) as a data-dependent fan-out: one input asset
+    row → one row per decoded page, with exact integer channel sums and
+    luminance range (all integer math, cross-engine exact).
+
+    Undecodable assets fail open as a single (page=-1, ok=False) row."""
+
+    import numpy as np
+
+    from . import tiffio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                try:
+                    frames = tiffio.decode_tiff_frames(bytes(content))
+                except (ValueError, TypeError):
+                    rows.append((aid, -1, False, 0, 0, 0, 0, 0, 0, 0))
+                    continue
+                for k, (w, h, rgb) in enumerate(frames):
+                    px = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+                    ch = px.astype(np.int64)
+                    lum = (
+                        299 * ch[:, 0] + 587 * ch[:, 1] + 114 * ch[:, 2]
+                    ) // 1000
+                    rows.append(
+                        (
+                            aid, k, True, w, h,
+                            int(ch[:, 0].sum()), int(ch[:, 1].sum()),
+                            int(ch[:, 2].sum()),
+                            int(lum.min()), int(lum.max()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              TIFF_PAGE_STATS_SCHEMA.fields])
+
+    return df.select("asset_id", "content").mapInPandas(
+        run, schema=TIFF_PAGE_STATS_SCHEMA
     )
 
 
@@ -602,6 +692,17 @@ def _rgb_image(content: bytes):
         px = decode_png_pixels(content)
     elif content[:2] == b"\xff\xd8":
         px = decode_jpeg_pixels(content)
+    elif content[:4] in (b"II*\x00", b"MM\x00*"):
+        from . import tiffio
+
+        try:
+            frames = tiffio.decode_tiff_frames(content, max_pages=1)
+        except ValueError:
+            return None
+        if not frames:
+            return None
+        w, h, rgb = frames[0]
+        px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
     if px is None or px.size == 0:
         return None
     if px.shape[2] >= 3:

@@ -3832,3 +3832,86 @@ ORACLE_JPEG_PIXEL_STATS = _jpeg_pixel_oracle_sql()
 
 EXT_QUERIES["jpeg_pixel_stats"] = q_jpeg_pixel_stats
 EXT_ORACLES["jpeg_pixel_stats"] = ORACLE_JPEG_PIXEL_STATS
+
+
+# ---------------------------------------------------------------------------
+# Multi-page TIFF decode under the driver gate: per document a multi-page
+# bilevel TIFF is synthesized (page count, dims, and a black rectangle all
+# integer-derived from doc_id; compression cycles G4 / none / PackBits so
+# all three REAL codecs in operators.tiffio are exercised), the real
+# container walk + CCITT Group-4 decoder recovers the pixels page-by-page
+# (tiff_page_stats fan-out — the reference's frame-per-page loader shape,
+# marie/utils/docs.py:224), and the oracle replays the geometry in pure
+# integer SQL. Scaled integer-division means keep the compare exact.
+# ---------------------------------------------------------------------------
+
+
+def q_tiff_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import tiffio
+    from .operators.multimodal import tiff_page_stats
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        comps = (tiffio.COMP_G4, tiffio.COMP_NONE, tiffio.COMP_PACKBITS)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                frames = []
+                for k in range(1 + d % 3):
+                    w = 24 + 8 * ((d + k) % 4)
+                    h = 16 + 8 * (k % 3)
+                    img = np.zeros((h, w), np.uint8)
+                    r0, c0 = k % 4, d % 5
+                    img[r0 : r0 + h // 2, c0 : c0 + w // 2] = 1
+                    frames.append(
+                        dict(mode="bilevel", width=w, height=h,
+                             pixels=img, compression=comps[k % 3])
+                    )
+                rows.append((str(d), tiffio.encode_tiff(frames)))
+            yield pd.DataFrame(rows, columns=["asset_id", "content"])
+
+    assets = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(make, "asset_id string, content binary")
+    )
+    stats = tiff_page_stats(assets).filter(F.col("ok"))
+    return stats.select(
+        (F.col("asset_id").cast("long") * 10 + F.col("page")).alias("doc_id"),
+        F.expr("CAST((sum_r * 1000) DIV (CAST(width AS BIGINT)"
+               " * height) AS DOUBLE)").alias("mean_r"),
+        F.expr("CAST((sum_g * 1000) DIV (CAST(width AS BIGINT)"
+               " * height) AS DOUBLE)").alias("mean_g"),
+        F.expr("CAST((sum_b * 1000) DIV (CAST(width AS BIGINT)"
+               " * height) AS DOUBLE)").alias("mean_b"),
+        "min_lum", "max_lum",
+    )
+
+
+ORACLE_TIFF_PAGE_STATS = """
+WITH pages AS (
+  SELECT doc_id AS d, CAST(unnest(range(1 + doc_id % 3)) AS BIGINT) AS k
+  FROM documents
+),
+stats AS (
+  SELECT d, k,
+         CAST(24 + 8 * ((d + k) % 4) AS BIGINT)
+           * CAST(16 + 8 * (k % 3) AS BIGINT) AS total,
+         (CAST(16 + 8 * (k % 3) AS BIGINT) // 2)
+           * (CAST(24 + 8 * ((d + k) % 4) AS BIGINT) // 2) AS black
+  FROM pages
+)
+SELECT d * 10 + k AS doc_id,
+       CAST((255 * (total - black) * 1000) // total AS DOUBLE) AS mean_r,
+       CAST((255 * (total - black) * 1000) // total AS DOUBLE) AS mean_g,
+       CAST((255 * (total - black) * 1000) // total AS DOUBLE) AS mean_b,
+       CAST(0 AS INTEGER) AS min_lum,
+       CAST(255 AS INTEGER) AS max_lum
+FROM stats
+"""
+
+EXT_QUERIES["tiff_page_stats"] = q_tiff_page_stats
+EXT_ORACLES["tiff_page_stats"] = ORACLE_TIFF_PAGE_STATS

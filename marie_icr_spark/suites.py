@@ -319,7 +319,10 @@ def q_media_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpg = X.q_jpeg_pixel_stats(spark, sf_dir).select(
         _m("jpeg_pixel_stats"), *_MEDIA_COLS.split(", ")
     )
-    return png.unionByName(rsz).unionByName(jpg)
+    tif = X.q_tiff_page_stats(spark, sf_dir).select(
+        _m("tiff_page_stats"), *_MEDIA_COLS.split(", ")
+    )
+    return png.unionByName(rsz).unionByName(jpg).unionByName(tif)
 
 
 ORACLE_MEDIA_SUITE = "\nUNION ALL\n".join(
@@ -327,6 +330,7 @@ ORACLE_MEDIA_SUITE = "\nUNION ALL\n".join(
         _wrap("png_pixel_stats", _MEDIA_COLS, X.ORACLE_PNG_PIXEL_STATS),
         _wrap("resize_pixel_stats", _MEDIA_COLS, X.ORACLE_RESIZE_PIXEL_STATS),
         _wrap("jpeg_pixel_stats", _MEDIA_COLS, X.ORACLE_JPEG_PIXEL_STATS),
+        _wrap("tiff_page_stats", _MEDIA_COLS, X.ORACLE_TIFF_PAGE_STATS),
     ]
 )
 
@@ -627,6 +631,7 @@ MERGED_MEMBERS = frozenset(
         "blob_xml", "adlib_xml",
         "classify_stub", "classify_routed",
         "png_pixel_stats", "resize_pixel_stats", "jpeg_pixel_stats",
+        "tiff_page_stats",
         "atomic_commit_roundtrip", "stream_atomic_commit",
         "compaction_roundtrip",
         "stream_kind_counts", "stream_conv_state", "stream_sessionize",

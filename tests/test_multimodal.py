@@ -277,3 +277,46 @@ def test_resize_media_fail_open_passthrough(spark):
     row = resize_media(assets, 2, 2).collect()[0]
     assert not row["ok"]
     assert bytes(row["content"]) == junk  # untouched, fail-open
+
+
+def test_tiff_through_media_pipeline(spark):
+    """TIFF joins the decodable set: decode_media dims/page-count and
+    media_pixel_stats / tiff_page_stats over the real G4 decoder."""
+    import numpy as np
+
+    from marie_icr_spark.operators import tiffio as T
+    from marie_icr_spark.operators.multimodal import tiff_page_stats
+
+    img = np.zeros((8, 16), np.uint8)
+    img[2:6, 4:12] = 1  # 32 black px of 128
+    blob = T.encode_tiff(
+        [
+            dict(mode="bilevel", width=16, height=8, pixels=img,
+                 compression=T.COMP_G4),
+            dict(mode="gray", width=4, height=2,
+                 pixels=bytes([10, 20, 30, 40, 50, 60, 70, 80])),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("t-1", "image", blob, {}), ("t-2", "image", b"II*\x00" + b"\xff" * 8, {})],
+        schema=ASSET_SCHEMA,
+    )
+    dec = {r["asset_id"]: r for r in decode_media(df).collect()}
+    assert dec["t-1"]["ok"] and dec["t-1"]["n_frames"] == 2
+    assert (dec["t-1"]["width"], dec["t-1"]["height"]) == (16, 8)
+    assert not dec["t-2"]["ok"] and "tiff" in dec["t-2"]["error"]
+
+    # media_pixel_stats uses the FIRST page (loader convention)
+    px = {r["asset_id"]: r for r in media_pixel_stats(df).collect()}
+    assert px["t-1"]["ok"]
+    assert px["t-1"]["mean_r"] == pytest.approx(255 * (128 - 32) / 128)
+    assert (px["t-1"]["min_lum"], px["t-1"]["max_lum"]) == (0, 255)
+    assert not px["t-2"]["ok"]
+
+    # per-page fan-out with exact integer sums
+    pg = {(r["asset_id"], r["page"]): r
+          for r in tiff_page_stats(df).collect()}
+    assert pg[("t-1", 0)]["sum_r"] == 255 * (128 - 32)
+    assert pg[("t-1", 1)]["sum_g"] == 10 + 20 + 30 + 40 + 50 + 60 + 70 + 80
+    assert (pg[("t-1", 1)]["width"], pg[("t-1", 1)]["height"]) == (4, 2)
+    assert pg[("t-2", -1)]["ok"] is False
