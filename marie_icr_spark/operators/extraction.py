@@ -210,6 +210,40 @@ def extract_turns(
     )
 
 
+def with_meta(extracted: DataFrame) -> DataFrame:
+    """Attach the reference's per-page ``meta`` header to a full-fidelity
+    extraction frame (``extract_turns(..., with_structs=True)`` output).
+
+    Shape contract (marie/document/ocr_processor.py:140-144 and
+    marie/components/document_indexer/transformers.py:357): ``imageSize``
+    {width, height} is the layout-grid envelope of the page's lines,
+    ``page`` is the frame index (turn_idx in this transposition), ``lang``
+    is pinned 'en' exactly as the reference pins it; plus the line
+    inventory the NER indexer consumes (transformers.py:852-875): ``lines``
+    count and ``lines_bboxes`` in line order. Pure Column math over the
+    already-built structs — no extra shuffle, no Python boundary."""
+    width = F.coalesce(
+        F.array_max(F.transform("lines", lambda l: l["bbox"][0] + l["bbox"][2])),
+        F.lit(0),
+    ).cast("int")
+    height = F.coalesce(
+        F.array_max(F.transform("lines", lambda l: l["bbox"][1] + l["bbox"][3])),
+        F.lit(0),
+    ).cast("int")
+    return extracted.withColumn(
+        "meta",
+        F.struct(
+            F.struct(
+                width.alias("width"), height.alias("height")
+            ).alias("imageSize"),
+            F.col("turn_idx").alias("page"),
+            F.lit("en").alias("lang"),
+            F.size("lines").alias("lines"),
+            F.transform("lines", lambda l: l["bbox"]).alias("lines_bboxes"),
+        ),
+    )
+
+
 def salt_repartition(
     df: DataFrame, num_partitions: int, salt_buckets: int = 64
 ) -> DataFrame:

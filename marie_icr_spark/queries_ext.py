@@ -649,12 +649,20 @@ def q_layout_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_layout_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-struct parity: renumbered line ids, assembled text, envelope
-    bbox (ocr_processor.py:241-247)."""
+    bbox (ocr_processor.py:241-247), plus the per-page ``meta`` header
+    (with_meta: imageSize grid envelope, pinned lang, line count —
+    ocr_processor.py:140-144) repeated on each line row."""
+    from .operators.extraction import with_meta
+
     t = transcripts_from_docs(spark, sf_dir)
-    e = extract_turns(t, with_structs=True).filter(
-        F.col("payload_kind") == "layout"
+    e = with_meta(
+        extract_turns(t, with_structs=True).filter(
+            F.col("payload_kind") == "layout"
+        )
     )
-    ln = e.select("conv_id", "turn_idx", F.explode("lines").alias("l"))
+    ln = e.select(
+        "conv_id", "turn_idx", "meta", F.explode("lines").alias("l")
+    )
     return ln.select(
         "conv_id",
         "turn_idx",
@@ -665,6 +673,10 @@ def q_layout_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.bbox")[2].alias("bb_w"),
         F.col("l.bbox")[3].alias("bb_h"),
         F.col("l.confidence").alias("line_conf"),
+        F.col("meta.imageSize.width").alias("img_w"),
+        F.col("meta.imageSize.height").alias("img_h"),
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.lines").cast("int").alias("n_lines"),
     )
 
 
@@ -680,15 +692,27 @@ lines AS (
   SELECT conv_id, turn_idx,
          unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) ln, w
   FROM d
+),
+rows_ AS (
+  SELECT conv_id, turn_idx,
+         CAST(ln + 1 AS INTEGER) line_no,
+         array_to_string(w[ln*8+1 : ln*8+8], ' ') line_text,
+         0 bb_x, CAST(ln * 20 AS INTEGER) bb_y,
+         CAST(9 * len(array_to_string(w[ln*8+1 : ln*8+8], ' ')) AS INTEGER)
+           bb_w,
+         16 bb_h,
+         1.0 line_conf
+  FROM lines
 )
-SELECT conv_id, turn_idx,
-       CAST(ln + 1 AS INTEGER) line_no,
-       array_to_string(w[ln*8+1 : ln*8+8], ' ') line_text,
-       0 bb_x, CAST(ln * 20 AS INTEGER) bb_y,
-       CAST(9 * len(array_to_string(w[ln*8+1 : ln*8+8], ' ')) AS INTEGER) bb_w,
-       16 bb_h,
-       1.0 line_conf
-FROM lines
+SELECT *,
+       CAST(MAX(bb_x + bb_w) OVER (PARTITION BY conv_id, turn_idx)
+            AS INTEGER) img_w,
+       CAST(MAX(bb_y + bb_h) OVER (PARTITION BY conv_id, turn_idx)
+            AS INTEGER) img_h,
+       'en' lang,
+       CAST(COUNT(*) OVER (PARTITION BY conv_id, turn_idx) AS INTEGER)
+         n_lines
+FROM rows_
 """
 
 

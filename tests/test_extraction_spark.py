@@ -186,3 +186,35 @@ def test_extract_turns_column_projection(spark, synth):
     w = extract_turns(sdf, with_structs=True, columns=("payload_kind", "words"))
     assert [f.name for f in w.schema.fields] == ["payload_kind", "words"]
     assert w.filter(F.col("payload_kind") == "layout").limit(1).collect()
+
+
+def test_with_meta_header(spark, synth):
+    """meta header (ocr_processor.py:140-144): imageSize = grid envelope of
+    the page's lines, page = turn_idx, pinned lang, lines inventory."""
+    from marie_icr_spark.operators.extraction import with_meta
+
+    sdf, tdf, gdf = synth
+    e = with_meta(extract_turns(sdf, with_structs=True))
+    rows = e.filter(F.col("payload_kind") == "layout").limit(50).collect()
+    assert rows
+    saw_multiline = False
+    for r in rows:
+        m = r["meta"]
+        assert m["page"] == r["turn_idx"]
+        assert m["lang"] == "en"
+        assert m["lines"] == len(r["lines"])
+        assert m["lines_bboxes"] == [ln["bbox"] for ln in r["lines"]]
+        if r["lines"]:
+            assert m["imageSize"]["width"] == max(
+                ln["bbox"][0] + ln["bbox"][2] for ln in r["lines"]
+            )
+            assert m["imageSize"]["height"] == max(
+                ln["bbox"][1] + ln["bbox"][3] for ln in r["lines"]
+            )
+            saw_multiline = saw_multiline or len(r["lines"]) > 1
+    assert saw_multiline
+    # non-layout turns carry an empty inventory, not a crash
+    empty = e.filter(F.col("payload_kind") == "plain").limit(5).collect()
+    for r in empty:
+        assert r["meta"]["imageSize"]["width"] == 0
+        assert r["meta"]["lines"] == 0
