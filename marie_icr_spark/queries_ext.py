@@ -3939,3 +3939,88 @@ FROM stats
 
 EXT_QUERIES["tiff_page_stats"] = q_tiff_page_stats
 EXT_ORACLES["tiff_page_stats"] = ORACLE_TIFF_PAGE_STATS
+
+
+# ---------------------------------------------------------------------------
+# TIFF packer sink (S12 output side): the reference merges per-page clean
+# images into ONE multi-page CCITT G4 TIFF per unit
+# (marie/pipe/extract_pipeline.py:594-604 merge_tiff → .clean.tif). The
+# transposition packs each conversation's grid-rendered layout pages
+# (text_renderer twin) into one multi-page G4 blob with the REAL encoder,
+# re-decodes it with the REAL decoder, and certifies per-page dims + ink
+# pixel counts against the grid SQL replay: every non-space char cell
+# contributes exactly one 6x12 ink block (72 px) in an 8x16 cell.
+# ---------------------------------------------------------------------------
+
+
+def q_tiff_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import tiffio
+
+    grid = q_grid_render(spark, sf_dir)
+    packed = grid.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "grid_text"))
+        ).alias("pages")
+    )
+
+    def pack(batches):
+        import numpy as np
+        import pandas as pd
+
+        glyph = np.zeros((16, 8), np.uint8)
+        glyph[2:14, 1:7] = 1
+        for pdf in batches:
+            out_rows = []
+            for conv_id, pages in zip(pdf["conv_id"], pdf["pages"]):
+                frames, tidx = [], []
+                for p in pages:
+                    rows = p["grid_text"].split("\n")
+                    ml = max(max(len(r) for r in rows), 1)
+                    mask = np.zeros((len(rows), ml), np.uint8)
+                    for i, r in enumerate(rows):
+                        b = np.frombuffer(
+                            r.ljust(ml).encode("latin1", "replace"),
+                            np.uint8,
+                        )
+                        mask[i] = (b != 32).astype(np.uint8)
+                    img = np.kron(mask, glyph)
+                    frames.append(
+                        dict(mode="bilevel", width=img.shape[1],
+                             height=img.shape[0], pixels=img,
+                             compression=tiffio.COMP_G4)
+                    )
+                    tidx.append(int(p["turn_idx"]))
+                blob = tiffio.encode_tiff(frames)
+                decoded = tiffio.decode_tiff_frames(
+                    blob, max_pages=len(frames)
+                )
+                for ti, (w, h, rgb) in zip(tidx, decoded):
+                    arr = np.frombuffer(rgb, np.uint8)
+                    ink = int((arr[0::3] == 0).sum())
+                    out_rows.append((conv_id, ti, f"{w}x{h}:{ink}"))
+            yield pd.DataFrame(
+                out_rows, columns=["conv_id", "turn_idx", "tiff_stats"]
+            )
+
+    return packed.mapInPandas(
+        pack, "conv_id string, turn_idx int, tiff_stats string"
+    )
+
+
+ORACLE_TIFF_PACK = f"""
+WITH gt AS ({{grid}}),
+m AS (
+  SELECT conv_id, turn_idx,
+         greatest(list_max(list_transform(
+           str_split(grid_text, chr(10)), s -> len(s))), 1) ml,
+         len(str_split(grid_text, chr(10))) nr,
+         len(replace(replace(grid_text, ' ', ''), chr(10), '')) ink
+  FROM gt)
+SELECT conv_id, turn_idx,
+       CAST(8 * ml AS VARCHAR) || 'x' || CAST(16 * nr AS VARCHAR)
+         || ':' || CAST(72 * ink AS VARCHAR) AS tiff_stats
+FROM m
+""".format(grid=ORACLE_GRID_RENDER)
+
+EXT_QUERIES["tiff_pack"] = q_tiff_pack
+EXT_ORACLES["tiff_pack"] = ORACLE_TIFF_PACK

@@ -243,7 +243,11 @@ def q_xml_sinks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _m("adlib_xml"), "conv_id", "turn_idx",
         F.col("adlib_xml").alias("xml"),
     )
-    return blob.unionByName(adlib)
+    tiff = X.q_tiff_pack(spark, sf_dir).select(
+        _m("tiff_pack"), "conv_id", "turn_idx",
+        F.col("tiff_stats").alias("xml"),
+    )
+    return blob.unionByName(adlib).unionByName(tiff)
 
 
 ORACLE_XML_SINKS_SUITE = "\nUNION ALL\n".join(
@@ -255,6 +259,10 @@ ORACLE_XML_SINKS_SUITE = "\nUNION ALL\n".join(
         _wrap(
             "adlib_xml", "conv_id, turn_idx, adlib_xml AS xml",
             X.ORACLE_ADLIB_XML,
+        ),
+        _wrap(
+            "tiff_pack", "conv_id, turn_idx, tiff_stats AS xml",
+            X.ORACLE_TIFF_PACK,
         ),
     ]
 )
@@ -628,7 +636,7 @@ MERGED_MEMBERS = frozenset(
         "token_stats", "language_id", "quality_score",
         "event_spans", "topk_events", "state_counts", "sessionize_bucketed",
         "doc_fingerprint", "simhash",
-        "blob_xml", "adlib_xml",
+        "blob_xml", "adlib_xml", "tiff_pack",
         "classify_stub", "classify_routed",
         "png_pixel_stats", "resize_pixel_stats", "jpeg_pixel_stats",
         "tiff_page_stats",
