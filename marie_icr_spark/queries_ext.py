@@ -4024,3 +4024,88 @@ FROM m
 
 EXT_QUERIES["tiff_pack"] = q_tiff_pack
 EXT_ORACLES["tiff_pack"] = ORACLE_TIFF_PACK
+
+
+# ---------------------------------------------------------------------------
+# ZIP packer sink (the other half of S12): the reference merges the per-page
+# Adlib / blob XML artifacts into {prefix}.ocr.zip / {prefix}.blobs.xml.zip
+# via merge_zip (marie/utils/zip_ops.py:9-15 — sorted names, default
+# ZIP_STORED, no compression). The transposition packs each conversation's
+# per-turn XML sink outputs into a REAL in-memory stdlib zipfile with
+# pinned metadata (epoch 1980 timestamps, STORED), and certifies entry
+# count, total payload bytes, and the exact container byte size — STORED
+# zip size is pure arithmetic (30+name+data local header, 46+name central
+# entry, 22 EOCD), so the oracle replays it from the XML strings alone.
+# ---------------------------------------------------------------------------
+
+
+def q_zip_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adlib = q_adlib_xml(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.col("adlib_xml").alias("xml"),
+        F.lit("ocr.zip").alias("kind"),
+    )
+    blob = q_blob_xml(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.col("blobs_xml").alias("xml"),
+        F.lit("blobs.xml.zip").alias("kind"),
+    )
+    entries = adlib.unionByName(blob).groupBy("conv_id", "kind").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "xml"))
+        ).alias("entries")
+    )
+
+    def pack(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for conv_id, kind, ents in zip(
+                pdf["conv_id"], pdf["kind"], pdf["entries"]
+            ):
+                ext = "adlib.xml" if kind == "ocr.zip" else "blobs.xml"
+                bio = io.BytesIO()
+                with zipfile.ZipFile(bio, "w") as zf:
+                    for e in ents:
+                        zi = zipfile.ZipInfo(
+                            f"{int(e['turn_idx']):06d}.{ext}",
+                            (1980, 1, 1, 0, 0, 0),
+                        )
+                        zf.writestr(
+                            zi, e["xml"].encode("utf-8"),
+                            zipfile.ZIP_STORED,
+                        )
+                blob_bytes = len(bio.getvalue())
+                n = len(ents)
+                tot = sum(len(e["xml"].encode("utf-8")) for e in ents)
+                rows.append(
+                    (conv_id, -1, f"{kind}:{n}:{tot}:{blob_bytes}")
+                )
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "zip_stats"]
+            )
+
+    return entries.mapInPandas(
+        pack, "conv_id string, turn_idx int, zip_stats string"
+    )
+
+
+ORACLE_ZIP_PACK = """
+WITH a AS ({adlib}), b AS ({blob}),
+u AS (
+  SELECT conv_id, 'ocr.zip' AS kind, strlen(adlib_xml) AS sz FROM a
+  UNION ALL
+  SELECT conv_id, 'blobs.xml.zip' AS kind, strlen(blobs_xml) AS sz FROM b
+),
+g AS (SELECT conv_id, kind, COUNT(*) n, SUM(sz) tot FROM u GROUP BY 1, 2)
+SELECT conv_id, CAST(-1 AS INTEGER) AS turn_idx,
+       kind || ':' || CAST(n AS VARCHAR) || ':' || CAST(tot AS VARCHAR)
+         || ':' || CAST(n * (30 + 16) + tot + n * (46 + 16) + 22 AS VARCHAR)
+         AS zip_stats
+FROM g
+""".format(adlib=ORACLE_ADLIB_XML, blob=ORACLE_BLOB_XML)
+
+EXT_QUERIES["zip_pack"] = q_zip_pack
+EXT_ORACLES["zip_pack"] = ORACLE_ZIP_PACK

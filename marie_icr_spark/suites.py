@@ -247,7 +247,11 @@ def q_xml_sinks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _m("tiff_pack"), "conv_id", "turn_idx",
         F.col("tiff_stats").alias("xml"),
     )
-    return blob.unionByName(adlib).unionByName(tiff)
+    zp = X.q_zip_pack(spark, sf_dir).select(
+        _m("zip_pack"), "conv_id", "turn_idx",
+        F.col("zip_stats").alias("xml"),
+    )
+    return blob.unionByName(adlib).unionByName(tiff).unionByName(zp)
 
 
 ORACLE_XML_SINKS_SUITE = "\nUNION ALL\n".join(
@@ -263,6 +267,10 @@ ORACLE_XML_SINKS_SUITE = "\nUNION ALL\n".join(
         _wrap(
             "tiff_pack", "conv_id, turn_idx, tiff_stats AS xml",
             X.ORACLE_TIFF_PACK,
+        ),
+        _wrap(
+            "zip_pack", "conv_id, turn_idx, zip_stats AS xml",
+            X.ORACLE_ZIP_PACK,
         ),
     ]
 )
@@ -636,7 +644,7 @@ MERGED_MEMBERS = frozenset(
         "token_stats", "language_id", "quality_score",
         "event_spans", "topk_events", "state_counts", "sessionize_bucketed",
         "doc_fingerprint", "simhash",
-        "blob_xml", "adlib_xml", "tiff_pack",
+        "blob_xml", "adlib_xml", "tiff_pack", "zip_pack",
         "classify_stub", "classify_routed",
         "png_pixel_stats", "resize_pixel_stats", "jpeg_pixel_stats",
         "tiff_page_stats",

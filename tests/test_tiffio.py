@@ -275,3 +275,30 @@ def test_big_endian_header_parses():
     out += b"\x00\x00\x00\x00"
     pages = T.tiff_page_info(bytes(out))
     assert pages[0][256] == [9] and pages[0][257] == [7]
+
+
+def test_zip_stored_size_formula():
+    """Pin the stdlib zipfile layout q_zip_pack's oracle relies on: a
+    STORED archive with pinned 1980 timestamps has the exact arithmetic
+    size 30+name+data per local header, 46+name per central entry, 22
+    EOCD — including non-ascii payloads counted in BYTES."""
+    import io
+    import zipfile
+
+    entries = [
+        ("000001.adlib.xml", "<Page>héllo — ünïcode</Page>"),
+        ("000002.adlib.xml", "<Page></Page>"),
+        ("000010.adlib.xml", "x" * 7000),
+    ]
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as zf:
+        for name, xml in entries:
+            zi = zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, xml.encode("utf-8"), zipfile.ZIP_STORED)
+    got = len(bio.getvalue())
+    expect = (
+        sum(30 + len(n) + len(x.encode("utf-8")) for n, x in entries)
+        + sum(46 + len(n) for n, _ in entries)
+        + 22
+    )
+    assert got == expect
