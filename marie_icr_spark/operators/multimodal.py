@@ -454,6 +454,62 @@ def tiff_page_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def label_components_4(img) -> int:
+    """Count 4-connected components of a 0/1 bilevel array.
+
+    From-scratch transposition of the CC pass in the reference's
+    character-width estimator (marie/boxes/box_processor.py:97-100,
+    ``cv2.connectedComponentsWithStats(..., connectivity=4)``): per-row
+    runs of foreground pixels are provisional labels; union-find merges
+    runs that overlap column-wise with runs of the previous row. Cost is
+    O(runs α(runs)) — runs, not pixels, so sparse text rasters are cheap.
+    """
+    import numpy as np
+
+    img = np.asarray(img)
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    prev: list[tuple[int, int, int]] = []  # (start, end, label) sorted
+    for y in range(img.shape[0]):
+        row = img[y]
+        d = np.diff(np.concatenate(([0], (row != 0).astype(np.int8), [0])))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        cur: list[tuple[int, int, int]] = []
+        j = 0
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            lbl = len(parent)
+            parent.append(lbl)
+            # merge with all prev-row runs overlapping [s, e)
+            while j < len(prev) and prev[j][1] <= s:
+                j += 1
+            k = j
+            while k < len(prev) and prev[k][0] < e:
+                union(lbl, prev[k][2])
+                k += 1
+            cur.append((s, e, lbl))
+        prev = cur
+    return sum(1 for i, p in enumerate(parent) if find(i) == i)
+
+
+def estimate_char_width(img, total_box_width: int) -> int:
+    """``total_box_width // n_components`` with the reference's hardcoded
+    fallback of 8 when the raster is blank (box_processor.py:119-123)."""
+    n = label_components_4(img)
+    return 8 if n == 0 else int(total_box_width) // n
+
+
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     """Test-fixture encoder: binary PPM (P6, maxval 255)."""
     return b"P6\n%d %d\n255\n" % (width, height) + pixels

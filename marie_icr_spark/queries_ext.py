@@ -1602,7 +1602,10 @@ def _grid_bins() -> list[int]:
     return np.linspace(0, _GRID_PAGE_W, max(cols, 1)).astype(np.int32).tolist()
 
 
-def q_grid_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _grid_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-rendered layout pages + total word-box width per page (the
+    ``total_width`` input of the reference char-width estimator,
+    box_processor.py:103-110)."""
     import pandas as pd
 
     from .extractors.grid_render import render_grid_text
@@ -1614,7 +1617,7 @@ def q_grid_render(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def render(batches):
         for pdf in batches:
-            texts = []
+            texts, widths = [], []
             for words, lines in zip(pdf["words"], pdf["lines"]):
                 ws = [
                     {
@@ -1628,16 +1631,25 @@ def q_grid_render(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for l in lines
                 ]
                 texts.append(render_grid_text(ws, ls, _GRID_PAGE_W))
+                widths.append(sum(w["box"][2] for w in ws))
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],
                     "turn_idx": pdf["turn_idx"],
                     "grid_text": texts,
+                    "total_box_w": widths,
                 }
             )
 
     return e.select("conv_id", "turn_idx", "words", "lines").mapInPandas(
-        render, "conv_id string, turn_idx int, grid_text string"
+        render,
+        "conv_id string, turn_idx int, grid_text string, total_box_w long",
+    )
+
+
+def q_grid_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _grid_pages(spark, sf_dir).select(
+        "conv_id", "turn_idx", "grid_text"
     )
 
 
@@ -3955,11 +3967,12 @@ EXT_ORACLES["tiff_page_stats"] = ORACLE_TIFF_PAGE_STATS
 
 def q_tiff_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import tiffio
+    from .operators.multimodal import label_components_4
 
-    grid = q_grid_render(spark, sf_dir)
+    grid = _grid_pages(spark, sf_dir)
     packed = grid.groupBy("conv_id").agg(
         F.array_sort(
-            F.collect_list(F.struct("turn_idx", "grid_text"))
+            F.collect_list(F.struct("turn_idx", "grid_text", "total_box_w"))
         ).alias("pages")
     )
 
@@ -3972,7 +3985,7 @@ def q_tiff_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_rows = []
             for conv_id, pages in zip(pdf["conv_id"], pdf["pages"]):
-                frames, tidx = [], []
+                frames, meta = [], []
                 for p in pages:
                     rows = p["grid_text"].split("\n")
                     ml = max(max(len(r) for r in rows), 1)
@@ -3989,15 +4002,25 @@ def q_tiff_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                              height=img.shape[0], pixels=img,
                              compression=tiffio.COMP_G4)
                     )
-                    tidx.append(int(p["turn_idx"]))
+                    meta.append((int(p["turn_idx"]), int(p["total_box_w"])))
                 blob = tiffio.encode_tiff(frames)
                 decoded = tiffio.decode_tiff_frames(
                     blob, max_pages=len(frames)
                 )
-                for ti, (w, h, rgb) in zip(tidx, decoded):
-                    arr = np.frombuffer(rgb, np.uint8)
-                    ink = int((arr[0::3] == 0).sum())
-                    out_rows.append((conv_id, ti, f"{w}x{h}:{ink}"))
+                for (ti, tw), (w, h, rgb) in zip(meta, decoded):
+                    # stats from the DECODED raster: ink census + the
+                    # reference's char-width estimate (CC count over the
+                    # page, box_processor.py:70-127)
+                    bl = (
+                        np.frombuffer(rgb, np.uint8)[0::3].reshape(h, w)
+                        == 0
+                    ).astype(np.uint8)
+                    ink = int(bl.sum())
+                    ncc = label_components_4(bl)
+                    cw = 8 if ncc == 0 else tw // ncc
+                    out_rows.append(
+                        (conv_id, ti, f"{w}x{h}:{ink}:{ncc}:{cw}")
+                    )
             yield pd.DataFrame(
                 out_rows, columns=["conv_id", "turn_idx", "tiff_stats"]
             )
@@ -4007,20 +4030,27 @@ def q_tiff_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TIFF_PACK = f"""
-WITH gt AS ({{grid}}),
+ORACLE_TIFF_PACK = """
+WITH gt AS ({grid}),
+tw AS (
+  SELECT conv_id, turn_idx, SUM(x1 - x0) tot
+  FROM ({words}) GROUP BY 1, 2),
 m AS (
-  SELECT conv_id, turn_idx,
+  SELECT gt.conv_id, gt.turn_idx,
          greatest(list_max(list_transform(
            str_split(grid_text, chr(10)), s -> len(s))), 1) ml,
          len(str_split(grid_text, chr(10))) nr,
-         len(replace(replace(grid_text, ' ', ''), chr(10), '')) ink
-  FROM gt)
+         len(replace(replace(grid_text, ' ', ''), chr(10), '')) ink,
+         COALESCE(tw.tot, 0) tot
+  FROM gt LEFT JOIN tw USING (conv_id, turn_idx))
 SELECT conv_id, turn_idx,
        CAST(8 * ml AS VARCHAR) || 'x' || CAST(16 * nr AS VARCHAR)
-         || ':' || CAST(72 * ink AS VARCHAR) AS tiff_stats
+         || ':' || CAST(72 * ink AS VARCHAR)
+         || ':' || CAST(ink AS VARCHAR)
+         || ':' || CAST(CASE WHEN ink = 0 THEN 8
+                             ELSE tot // ink END AS VARCHAR) AS tiff_stats
 FROM m
-""".format(grid=ORACLE_GRID_RENDER)
+""".format(grid=ORACLE_GRID_RENDER, words=_LAYOUT_WORDS_SQL)
 
 EXT_QUERIES["tiff_pack"] = q_tiff_pack
 EXT_ORACLES["tiff_pack"] = ORACLE_TIFF_PACK

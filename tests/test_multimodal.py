@@ -320,3 +320,53 @@ def test_tiff_through_media_pipeline(spark):
     assert pg[("t-1", 1)]["sum_g"] == 10 + 20 + 30 + 40 + 50 + 60 + 70 + 80
     assert (pg[("t-1", 1)]["width"], pg[("t-1", 1)]["height"]) == (4, 2)
     assert pg[("t-2", -1)]["ok"] is False
+
+
+def test_label_components_4_vs_flood_fill():
+    """Union-find run labeling == brute-force flood fill (4-connectivity),
+    plus the reference's char-width contract (box_processor.py:70-127)."""
+    import numpy as np
+
+    from marie_icr_spark.operators.multimodal import (
+        estimate_char_width,
+        label_components_4,
+    )
+
+    def flood_count(img):
+        img = np.asarray(img).astype(bool).copy()
+        n = 0
+        h, w = img.shape
+        for y in range(h):
+            for x in range(w):
+                if img[y, x]:
+                    n += 1
+                    stack = [(y, x)]
+                    img[y, x] = False
+                    while stack:
+                        cy, cx = stack.pop()
+                        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            ny, nx = cy + dy, cx + dx
+                            if 0 <= ny < h and 0 <= nx < w and img[ny, nx]:
+                                img[ny, nx] = False
+                                stack.append((ny, nx))
+        return n
+
+    rng = np.random.default_rng(5)
+    for _ in range(60):
+        h, w = rng.integers(1, 25, 2)
+        img = (rng.random((h, w)) < rng.choice([0.2, 0.5, 0.7])).astype(
+            np.uint8
+        )
+        assert label_components_4(img) == flood_count(img)
+    # diagonal pixels are NOT connected under 4-connectivity
+    assert label_components_4(np.eye(5, dtype=np.uint8)) == 5
+    ring = np.zeros((5, 5), np.uint8)
+    ring[0, :] = ring[-1, :] = ring[:, 0] = ring[:, -1] = 1
+    assert label_components_4(ring) == 1  # one loop, not four edges
+    u = np.zeros((3, 5), np.uint8)
+    u[:, 0] = u[:, 4] = 1
+    u[2, :] = 1
+    assert label_components_4(u) == 1  # U-shape merges late (union-find)
+    assert label_components_4(np.zeros((4, 4), np.uint8)) == 0
+    assert estimate_char_width(np.zeros((4, 4), np.uint8), 100) == 8
+    assert estimate_char_width(np.eye(3, dtype=np.uint8), 28) == 9
