@@ -4139,3 +4139,158 @@ FROM g
 
 EXT_QUERIES["zip_pack"] = q_zip_pack
 EXT_ORACLES["zip_pack"] = ORACLE_ZIP_PACK
+
+
+def q_pdf_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF renderer sink (S9, marie/renderer/pdf_renderer.py:33-168): one
+    searchable PDF per conversation, a page per layout turn, each word a
+    Helvetica text op placed by the reference's baseline transform (left
+    pad 5, ``img_h - line_y - lh*0.80``, font from line height via
+    draw_truetype.py:51-63, word2line lookup, empty/vertical-text skips).
+
+    Certification is a full encode→parse roundtrip: the emitted stats are
+    computed from the PARSED ops of the packed PDF bytes, and the oracle
+    replays the placement arithmetic over the layout-word SQL. Pages with
+    zero draw ops are dropped on both sides (inner-join semantics).
+
+    Scale shape: two keyed shuffles (turn page build, conversation pack)
+    + one narrow mapInPandas; a conversation is bounded by CONV_MOD so no
+    single task holds more than one conversation's pages.
+    """
+    from .functions.columns import HASH_P
+    from .operators import pdfio
+
+    t = transcripts_from_docs(spark, sf_dir)
+    e = extract_turns(t, with_structs=True).filter(
+        F.col("payload_kind") == "layout"
+    )
+    convs = (
+        e.select("conv_id", "turn_idx", "words", "lines")
+        .groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "words", "lines"))
+            ).alias("pages")
+        )
+    )
+
+    def pack(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for conv_id, pages in zip(pdf["conv_id"], pdf["pages"]):
+                built, tidx = [], []
+                for p in pages:
+                    lines = {
+                        int(l["line"]): (
+                            int(l["bbox"][1]),
+                            int(l["bbox"][3]),
+                        )
+                        for l in p["lines"]
+                    }
+                    img_w = max(
+                        int(l["bbox"][0] + l["bbox"][2])
+                        for l in p["lines"]
+                    )
+                    img_h = max(
+                        int(l["bbox"][1] + l["bbox"][3])
+                        for l in p["lines"]
+                    )
+                    ws = sorted(
+                        p["words"], key=lambda w: int(w["word_index"])
+                    )
+                    rows_in = []
+                    for w in ws:
+                        ly, lh = lines[int(w["line"])]
+                        rows_in.append(
+                            (
+                                w["text"],
+                                int(w["box"][0]),
+                                int(w["box"][1]),
+                                int(w["box"][2]),
+                                int(w["box"][3]),
+                                ly,
+                                lh,
+                            )
+                        )
+                    built.append(
+                        pdfio.PdfPage(
+                            img_w,
+                            img_h,
+                            pdfio.render_word_ops(rows_in, img_h),
+                        )
+                    )
+                    tidx.append(int(p["turn_idx"]))
+                blob = pdfio.encode_pdf(built)
+                for ti, pg in zip(tidx, pdfio.decode_pdf_pages(blob)):
+                    if not pg.ops:
+                        continue
+                    txt = " ".join(op[3] for op in pg.ops)
+                    h31 = (
+                        int(
+                            hashlib.md5(txt.encode("utf-8")).hexdigest()[
+                                :15
+                            ],
+                            16,
+                        )
+                        % HASH_P
+                    )
+                    rows.append(
+                        (
+                            conv_id,
+                            ti,
+                            "%dx%d:%d:%d:%d:%d:%d"
+                            % (
+                                pg.width,
+                                pg.height,
+                                len(pg.ops),
+                                sum(op[0] for op in pg.ops),
+                                sum(op[1] for op in pg.ops),
+                                sum(op[2] for op in pg.ops),
+                                h31,
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "pdf_stats"]
+            )
+
+    return convs.mapInPandas(
+        pack, "conv_id string, turn_idx int, pdf_stats string"
+    )
+
+
+ORACLE_PDF_PACK = """
+WITH w AS ({words}),
+pg AS (
+  SELECT conv_id, turn_idx, MAX(x1) iw, MAX(y1) ih
+  FROM w GROUP BY 1, 2),
+ops AS (
+  SELECT w.conv_id, w.turn_idx, w.word_index, w.word_text,
+         (((w.y1 - w.y0) // 2) * 13) // 10 fs,
+         w.x0 + 5 px,
+         pg.ih - w.y0 - ((w.y1 - w.y0) * 4) // 5 py
+  FROM w JOIN pg USING (conv_id, turn_idx)
+  WHERE len(w.word_text) > 0
+    AND NOT (len(w.word_text) > 2
+             AND 10 * (w.x1 - w.x0) < 4 * (w.y1 - w.y0))),
+agg AS (
+  SELECT conv_id, turn_idx, COUNT(*) n, SUM(fs) sfs, SUM(px) sx,
+         SUM(py) sy,
+         string_agg(word_text, ' ' ORDER BY word_index) txt
+  FROM ops GROUP BY 1, 2)
+SELECT pg.conv_id, pg.turn_idx,
+       CAST(pg.iw AS VARCHAR) || 'x' || CAST(pg.ih AS VARCHAR)
+         || ':' || CAST(agg.n AS VARCHAR)
+         || ':' || CAST(agg.sfs AS VARCHAR)
+         || ':' || CAST(agg.sx AS VARCHAR)
+         || ':' || CAST(agg.sy AS VARCHAR)
+         || ':' || CAST({h31} AS VARCHAR) AS pdf_stats
+FROM pg JOIN agg USING (conv_id, turn_idx)
+""".format(words=_LAYOUT_WORDS_SQL, h31=portable_hash31_sql("agg.txt"))
+
+EXT_QUERIES["pdf_pack"] = q_pdf_pack
+EXT_ORACLES["pdf_pack"] = ORACLE_PDF_PACK

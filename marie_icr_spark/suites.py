@@ -251,7 +251,16 @@ def q_xml_sinks_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _m("zip_pack"), "conv_id", "turn_idx",
         F.col("zip_stats").alias("xml"),
     )
-    return blob.unionByName(adlib).unionByName(tiff).unionByName(zp)
+    pp = X.q_pdf_pack(spark, sf_dir).select(
+        _m("pdf_pack"), "conv_id", "turn_idx",
+        F.col("pdf_stats").alias("xml"),
+    )
+    return (
+        blob.unionByName(adlib)
+        .unionByName(tiff)
+        .unionByName(zp)
+        .unionByName(pp)
+    )
 
 
 ORACLE_XML_SINKS_SUITE = "\nUNION ALL\n".join(
@@ -271,6 +280,10 @@ ORACLE_XML_SINKS_SUITE = "\nUNION ALL\n".join(
         _wrap(
             "zip_pack", "conv_id, turn_idx, zip_stats AS xml",
             X.ORACLE_ZIP_PACK,
+        ),
+        _wrap(
+            "pdf_pack", "conv_id, turn_idx, pdf_stats AS xml",
+            X.ORACLE_PDF_PACK,
         ),
     ]
 )
@@ -644,7 +657,7 @@ MERGED_MEMBERS = frozenset(
         "token_stats", "language_id", "quality_score",
         "event_spans", "topk_events", "state_counts", "sessionize_bucketed",
         "doc_fingerprint", "simhash",
-        "blob_xml", "adlib_xml", "tiff_pack", "zip_pack",
+        "blob_xml", "adlib_xml", "tiff_pack", "zip_pack", "pdf_pack",
         "classify_stub", "classify_routed",
         "png_pixel_stats", "resize_pixel_stats", "jpeg_pixel_stats",
         "tiff_page_stats",
