@@ -46,6 +46,14 @@ def asof_join(
     Implementation: tag and union both sides, sort within key by
     (event time, side) with right rows first at equal times, and carry the
     right values forward with ``last(ignorenulls=True)`` — a single shuffle.
+
+    Scale note: the per-key window sort is inherent to as-of semantics, so
+    ONE hot key (e.g. a single conversation with 10^8 events) lands in one
+    task. When the consumer only needs per-session/per-bucket aggregates,
+    prefer the salted two-phase pattern of
+    :func:`session_stats_bucketed` — shuffle on (key, time bucket) first,
+    then merge at the boundary — which spreads a hot key over
+    ``span / bucket`` tasks.
     """
     lcols = left.columns
     l = left.select(
@@ -87,7 +95,12 @@ def sessionize(
 ) -> DataFrame:
     """Assign 1-based session ids per key: a new session starts when the gap
     since the previous event exceeds ``gap_minutes``. Output: input +
-    (session_id int)."""
+    (session_id int).
+
+    Scale note: per-key window sort — a single hot key serializes into one
+    task. If only session AGGREGATES are needed downstream, use
+    :func:`session_stats_bucketed` (skew-safe two-phase twin, identical
+    output contract) instead of ``session_stats(sessionize(...))``."""
     seq = Window.partitionBy(*key_cols).orderBy(ts_col)
     run = (
         Window.partitionBy(*key_cols)

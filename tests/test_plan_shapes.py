@@ -43,6 +43,15 @@ def test_assemble_is_two_phase_not_global_window(spark):
     assert "Window" not in plan, "reassembly must not sort whole conversations"
 
 
+def test_pdf_pack_single_shuffle(spark):
+    from marie_icr_spark import queries_ext as X
+
+    plan = _plan(X.q_pdf_pack(spark, SF_DIR))
+    assert plan.count("Exchange") <= 1  # one groupBy(conv_id) collect
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize("name", [
     "jaccard_pairs", "minhash_lsh_pairs", "emb_near_dup", "ann_batch_topk",
     "dedup_exact",
