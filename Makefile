@@ -1,4 +1,9 @@
-.PHONY: test bench scale smoke sweep
+.PHONY: test bench scale smoke sweep dist
+
+# build the --py-files artifact for the jobs/ spark-submit entrypoints
+dist:
+	rm -f marie_icr_spark.zip
+	zip -qr marie_icr_spark.zip marie_icr_spark -x '*/__pycache__/*'
 
 # full driver-style oracle sweep at sf0.1 (catches scale-sensitive oracle
 # bugs the driver's sf0.01 gate cannot; budget ~20 min)
