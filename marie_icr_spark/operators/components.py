@@ -53,8 +53,11 @@ def connected_components(
     prev_ckpt_dir = sc.getCheckpointDir()
     if checkpoint_dir is not None:
         sc.setCheckpointDir(checkpoint_dir)
-        if prev_ckpt_dir is None:
-            _SELF_SET_DIRS.add(sc.getCheckpointDir())
+        # register EVERY dir we set (setCheckpointDir appends a fresh UUID
+        # subdir each call, so the resolved value is new every time) — the
+        # not-passed warning below must only ever fire for a dir set by
+        # EXTERNAL code, never one this function installed
+        _SELF_SET_DIRS.add(sc.getCheckpointDir())
     # reliable mode ONLY on explicit request: sniffing the context-global
     # checkpoint dir would silently flip every later call in the session
     # (and leave per-round checkpoint files behind); callers on a real
@@ -101,7 +104,13 @@ def connected_components(
         # only affects subsequent callers, not the returned frame.
         if checkpoint_dir is not None and prev_ckpt_dir is not None \
                 and prev_ckpt_dir != checkpoint_dir:
+            was_ours = prev_ckpt_dir in _SELF_SET_DIRS
             sc.setCheckpointDir(prev_ckpt_dir)
+            if was_ours:
+                # "restore" re-resolves to prev/<new-UUID>; keep the
+                # self-set bookkeeping in sync or the next bare call
+                # would warn about our own dir
+                _SELF_SET_DIRS.add(sc.getCheckpointDir())
     return labels
 
 

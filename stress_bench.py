@@ -57,12 +57,78 @@ def scaled_corpus(spark, sf_dir: str, r: int, mode: str):
     return rep.select(did, txt.alias("text"))
 
 
+def disjoint_sf_dir(spark, sf_dir: str, r: int) -> str:
+    """Stage a scaled sf dir under /tmp whose ``documents`` table holds
+    ``r`` DISJOINT replicas (replica-tagged tokens, offset doc_ids), so
+    corpus curation sees r× genuinely distinct documents — output (and
+    runtime) should scale ~linearly, unlike the exact-replica fan-out
+    where the whole corpus collapses into one near-dup component."""
+    from marie_icr_spark.functions.columns import ws_tokens
+    from marie_icr_spark.sources.tables import load_table
+
+    out = f"/tmp/stress_sf_disjoint_{r}x"
+    if not os.path.exists(os.path.join(out, "documents.parquet")):
+        os.makedirs(out, exist_ok=True)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            dst = os.path.join(out, f"{t}.parquet")
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.symlink(src, dst)
+        docs = load_table(spark, sf_dir, "documents")
+        rep = docs.withColumn(
+            "r", F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
+        )
+        tag = F.concat(F.lit("zq"), F.col("r").cast("string"), F.lit("y"))
+        txt = F.when(F.col("r") == 0, F.col("text")).otherwise(
+            F.array_join(
+                F.transform(
+                    ws_tokens(F.col("text")),
+                    lambda t: F.concat(tag, t),
+                ),
+                " ",
+            )
+        )
+        scaled = rep.select(
+            (
+                F.col("doc_id").cast("long")
+                + F.col("r").cast("long") * F.lit(100_000_000).cast("long")
+            ).alias("doc_id"),
+            txt.alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        tmp = os.path.join(out, "_documents_build")
+        scaled.coalesce(8).write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(out, "documents.parquet"))
+    return out
+
+
 def run_op(spark, sf_dir: str, op: str, r: int, mode: str) -> dict:
     from marie_icr_spark import queries_ext as X
     from marie_icr_spark.operators.components import dedup_groups
     from marie_icr_spark.operators.dedup import jaccard_pairs
 
     t0 = time.time()
+    if op == "corpus-disjoint":
+        from marie_icr_spark.plans import corpus as CP
+        from marie_icr_spark.sources.transcripts import transcripts_from_docs
+
+        staged = sf_dir if r == 1 else disjoint_sf_dir(spark, sf_dir, r)
+        t = transcripts_from_docs(spark, staged)
+        n_in = t.count()
+        handles: list = []
+        t0 = time.time()
+        out = CP.build_corpus(
+            t, rates=dict(CP.SAMPLE_RATES), persist_handles=handles
+        )
+        rows = out.count()
+        dt = time.time() - t0
+        for h in handles:
+            h.unpersist()
+        return {
+            "op": op, "scale": r, "mode": "disjoint-docs",
+            "input_rows": n_in, "output_rows": rows, "sec": round(dt, 2),
+        }
     if op == "corpus":
         from marie_icr_spark.plans import corpus as CP
         from marie_icr_spark.sources.transcripts import transcripts_from_docs

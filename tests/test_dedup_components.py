@@ -45,6 +45,25 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
     assert spark.sparkContext.getCheckpointDir() is not None
 
 
+def test_no_self_inflicted_warning_after_reliable_calls(spark, tmp_path):
+    """Two reliable calls with different dirs, then a bare call: the
+    'checkpoint dir set but checkpoint_dir not passed' warning must NOT
+    fire — every dir the operator itself installed (including the
+    UUID-resolved 'restore' path) is tracked as self-set."""
+    import warnings
+
+    edges = spark.createDataFrame([(1, 2), (7, 8)], "id_a long, id_b long")
+    connected_components(
+        edges, checkpoint_dir=str(tmp_path / "ck_a")
+    ).count()
+    connected_components(
+        edges, checkpoint_dir=str(tmp_path / "ck_b")
+    ).count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        assert connected_components(edges).count() == 4
+
+
 def test_long_chain_converges(spark):
     n = 40
     edges = spark.createDataFrame(
