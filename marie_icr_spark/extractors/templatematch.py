@@ -90,8 +90,20 @@ def round3(x: float) -> float:
     return math.floor(x * 1000.0 + 0.5) / 1000.0
 
 
+#: Non-ASCII codepoints are projected onto ONE sentinel class before the
+#: distance DP (0x1A SUB, never in real text).  DuckDB's ``levenshtein``
+#: counts BYTES while Python counts codepoints, so they diverge on any
+#: multibyte text; after projecting both sides with the same rule
+#: (``regexp_replace(s, '[^\x00-\x7F]', chr(26), 'g')`` in SQL) every
+#: projected string is single-byte and byte == codepoint distance exactly,
+#: with char lengths unchanged.  Pinned quantization vs the reference's
+#: full-unicode distance: two DISTINCT non-ASCII codepoints compare equal.
+_NON_ASCII_SENTINEL = 0x1A
+
+
 def lev_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
-    """Vectorized Levenshtein distance over P string pairs.
+    """Vectorized Levenshtein distance over P string pairs (non-ASCII
+    codepoints projected per ``_NON_ASCII_SENTINEL`` — see above).
 
     Classic DP, batched across the pair axis: the row recurrence's
     insertion term (a running min along the row) is closed-form via the
@@ -113,6 +125,9 @@ def lev_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
     for p, s in enumerate(b_strs):
         if s:
             B[p, : len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    # 0 is the padding value and < 128, so padding is unaffected
+    A[A >= 128] = _NON_ASCII_SENTINEL
+    B[B >= 128] = _NON_ASCII_SENTINEL
     js = np.arange(mb + 1, dtype=np.int64)
     prev = np.broadcast_to(js, (P, mb + 1)).copy()
     out = lb.copy()  # rows with len(a) == 0
@@ -173,6 +188,24 @@ def meta_candidates(
     return cands
 
 
+def meta_sims(texts: list[str], tmpls: list[str]) -> list[float]:
+    """The meta-matcher similarity, batched:
+    ``round3(1 - lev(text, tmpl) / max(len(text), len(tmpl)))``.
+    THE single definition of the score formula — the Spark operator and
+    this golden module both call it; change it only together with the
+    DuckDB twin in queries_templates.py."""
+    d = lev_batch(texts, tmpls)
+    return [
+        round3(1.0 - dist / max(len(a), len(b)))
+        for a, b, dist in zip(texts, tmpls, d.tolist())
+    ]
+
+
+def meta_keep(text: str, tmpl: str, sim: float, threshold: float) -> bool:
+    """Exact-or-threshold keep rule (document_matched.py:196, strict >)."""
+    return text == tmpl or sim > threshold
+
+
 def score_meta_candidates(
     cands: list[dict], threshold: float = DEFAULT_SCORE_THRESHOLD
 ) -> list[dict]:
@@ -180,13 +213,14 @@ def score_meta_candidates(
     ``sim > threshold``, preserving order."""
     if not cands:
         return []
-    d = lev_batch([c["text"] for c in cands], [c["tmpl"] for c in cands])
-    kept = []
-    for c, dist in zip(cands, d.tolist()):
-        sim = round3(1.0 - dist / max(len(c["text"]), len(c["tmpl"])))
-        if c["text"] == c["tmpl"] or sim > threshold:
-            kept.append({**c, "score": sim})
-    return kept
+    sims = meta_sims(
+        [c["text"] for c in cands], [c["tmpl"] for c in cands]
+    )
+    return [
+        {**c, "score": sim}
+        for c, sim in zip(cands, sims)
+        if meta_keep(c["text"], c["tmpl"], sim, threshold)
+    ]
 
 
 def prefix_candidates(

@@ -171,6 +171,11 @@ def _decode_jpeg(content: bytes) -> dict:
     while i + 9 < n:
         if content[i] != 0xFF:
             return _bad("malformed jpeg")
+        # skip 0xFF fill bytes between segments (legal padding) — same
+        # rule as the pixel decoder's marker walk, so decode_media and
+        # media_pixel_stats agree on every asset
+        while i + 9 < n and content[i + 1] == 0xFF:
+            i += 1
         marker = content[i + 1]
         if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
             h, w = struct.unpack_from(">HH", content, i + 5)

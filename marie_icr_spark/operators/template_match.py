@@ -38,10 +38,15 @@ def match_anchors(
     anchor_col = F.explode(
         F.array(*[F.lit(a) for a in anchors])
     ).alias("anchor")
+    # non-ASCII codepoints projected to one sentinel class (0x1A) before
+    # the distance: Spark levenshtein counts codepoints but the DuckDB
+    # twin counts BYTES — projection makes the two identical on every
+    # input (see extractors/templatematch.py _NON_ASCII_SENTINEL).
+    proj = lambda c: F.regexp_replace(c, r"[^\x00-\x7F]", "\u001A")
     scored = lines.select(*unit_cols, order_col, line_col, anchor_col).withColumn(
         "score",
         1.0
-        - F.levenshtein(F.col(line_col), F.col("anchor"))
+        - F.levenshtein(proj(F.col(line_col)), proj(F.col("anchor")))
         / F.greatest(
             F.length(line_col), F.length("anchor"), F.lit(1)
         ),

@@ -54,19 +54,22 @@ def _frame_arrays(words_cell) -> tuple[list, list, list]:
 
 def _score_batch(per_frame_cands: list[list[dict]], threshold: float):
     """Batch the Levenshtein DP across every frame's meta candidates in the
-    Arrow batch, then apply the exact-or-threshold keep rule per frame."""
+    Arrow batch, then apply the golden module's keep rule per frame (the
+    formula/rule live ONLY in extractors.templatematch)."""
     flat = [c for cands in per_frame_cands for c in cands]
     if not flat:
         return [[] for _ in per_frame_cands]
-    d = G.lev_batch([c["text"] for c in flat], [c["tmpl"] for c in flat])
-    it = iter(d.tolist())
+    sims = iter(
+        G.meta_sims(
+            [c["text"] for c in flat], [c["tmpl"] for c in flat]
+        )
+    )
     out = []
     for cands in per_frame_cands:
         kept = []
         for c in cands:
-            dist = next(it)
-            sim = G.round3(1.0 - dist / max(len(c["text"]), len(c["tmpl"])))
-            if c["text"] == c["tmpl"] or sim > threshold:
+            sim = next(sims)
+            if G.meta_keep(c["text"], c["tmpl"], sim, threshold):
                 kept.append({**c, "score": sim})
         out.append(kept)
     return out

@@ -918,8 +918,13 @@ lines AS (
   FROM l
 ),
 scored AS (
+  -- byte-vs-codepoint levenshtein parity: both engines project non-ASCII
+  -- to chr(26) first (extractors/templatematch.py _NON_ASCII_SENTINEL)
   SELECT doc_id, line_no, line_text, anchor,
-         1.0 - CAST(levenshtein(line_text, anchor) AS DOUBLE)
+         1.0 - CAST(levenshtein(
+                 regexp_replace(line_text, '[^\\x00-\\x7F]', chr(26), 'g'),
+                 regexp_replace(anchor, '[^\\x00-\\x7F]', chr(26), 'g'))
+               AS DOUBLE)
                / greatest(len(line_text), len(anchor), 1) score
   FROM lines, (SELECT unnest([{_ANCHOR_LIST_SQL}]) anchor)
 ),
@@ -4125,20 +4130,81 @@ def q_zip_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ZIP_PACK = """
 WITH a AS ({adlib}), b AS ({blob}),
 u AS (
-  SELECT conv_id, 'ocr.zip' AS kind, strlen(adlib_xml) AS sz FROM a
+  SELECT conv_id, turn_idx, 'ocr.zip' AS kind, strlen(adlib_xml) AS sz
+  FROM a
   UNION ALL
-  SELECT conv_id, 'blobs.xml.zip' AS kind, strlen(blobs_xml) AS sz FROM b
+  SELECT conv_id, turn_idx, 'blobs.xml.zip' AS kind, strlen(blobs_xml) AS sz
+  FROM b
 ),
-g AS (SELECT conv_id, kind, COUNT(*) n, SUM(sz) tot FROM u GROUP BY 1, 2)
+-- entry name is printf('%06d.', turn_idx) + a 9-char extension: 16 bytes
+-- until turn_idx needs 7+ digits (>= 10^6, i.e. >= 89M documents), then
+-- it grows — size the local+central headers per entry, not at 16 flat
+e AS (
+  SELECT *,
+         greatest(6, len(CAST(turn_idx AS VARCHAR))) + 10 AS name_len
+  FROM u
+),
+g AS (
+  SELECT conv_id, kind, COUNT(*) n, SUM(sz) tot,
+         SUM(2 * name_len) nl2
+  FROM e GROUP BY 1, 2)
 SELECT conv_id, CAST(-1 AS INTEGER) AS turn_idx,
        kind || ':' || CAST(n AS VARCHAR) || ':' || CAST(tot AS VARCHAR)
-         || ':' || CAST(n * (30 + 16) + tot + n * (46 + 16) + 22 AS VARCHAR)
+         || ':' || CAST(n * (30 + 46) + nl2 + tot + 22 AS VARCHAR)
          AS zip_stats
 FROM g
 """.format(adlib=ORACLE_ADLIB_XML, blob=ORACLE_BLOB_XML)
 
 EXT_QUERIES["zip_pack"] = q_zip_pack
 EXT_ORACLES["zip_pack"] = ORACLE_ZIP_PACK
+
+
+def _pdf_page_from_turn(words, lines) -> "object":
+    """One turn's (word structs, line structs) → a ``pdfio.PdfPage``.
+
+    Fail-soft like the extraction contract: a blank turn (no lines/words)
+    becomes an op-less 1×1 page (the reference's degenerate empty
+    ``drawString``, pdf_renderer.py:80-83), and a word whose line id is
+    missing from the line structs falls back to its own box for the
+    baseline — exactly the reference's ``wid in word2line`` else-branch
+    (pdf_renderer.py:113-122).
+    """
+    from .operators import pdfio
+
+    line_map = {
+        int(l["line"]): (int(l["bbox"][1]), int(l["bbox"][3]))
+        for l in lines
+    }
+    extents = [
+        (int(l["bbox"][0] + l["bbox"][2]), int(l["bbox"][1] + l["bbox"][3]))
+        for l in lines
+    ] or [
+        (int(w["box"][0] + w["box"][2]), int(w["box"][1] + w["box"][3]))
+        for w in words
+    ]
+    if not extents:
+        return pdfio.PdfPage(1, 1, [])
+    img_w = max(e[0] for e in extents)
+    img_h = max(e[1] for e in extents)
+    rows_in = []
+    for w in sorted(words, key=lambda w: int(w["word_index"])):
+        ly, lh = line_map.get(
+            int(w["line"]), (int(w["box"][1]), int(w["box"][3]))
+        )
+        rows_in.append(
+            (
+                w["text"],
+                int(w["box"][0]),
+                int(w["box"][1]),
+                int(w["box"][2]),
+                int(w["box"][3]),
+                ly,
+                lh,
+            )
+        )
+    return pdfio.PdfPage(
+        img_w, img_h, pdfio.render_word_ops(rows_in, img_h)
+    )
 
 
 def q_pdf_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4184,44 +4250,8 @@ def q_pdf_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             for conv_id, pages in zip(pdf["conv_id"], pdf["pages"]):
                 built, tidx = [], []
                 for p in pages:
-                    lines = {
-                        int(l["line"]): (
-                            int(l["bbox"][1]),
-                            int(l["bbox"][3]),
-                        )
-                        for l in p["lines"]
-                    }
-                    img_w = max(
-                        int(l["bbox"][0] + l["bbox"][2])
-                        for l in p["lines"]
-                    )
-                    img_h = max(
-                        int(l["bbox"][1] + l["bbox"][3])
-                        for l in p["lines"]
-                    )
-                    ws = sorted(
-                        p["words"], key=lambda w: int(w["word_index"])
-                    )
-                    rows_in = []
-                    for w in ws:
-                        ly, lh = lines[int(w["line"])]
-                        rows_in.append(
-                            (
-                                w["text"],
-                                int(w["box"][0]),
-                                int(w["box"][1]),
-                                int(w["box"][2]),
-                                int(w["box"][3]),
-                                ly,
-                                lh,
-                            )
-                        )
                     built.append(
-                        pdfio.PdfPage(
-                            img_w,
-                            img_h,
-                            pdfio.render_word_ops(rows_in, img_h),
-                        )
+                        _pdf_page_from_turn(p["words"], p["lines"])
                     )
                     tidx.append(int(p["turn_idx"]))
                 blob = pdfio.encode_pdf(built)

@@ -132,8 +132,16 @@ mc AS (
           / 1000.0 > 0.9
 ),
 msc AS (
+  -- DuckDB levenshtein counts BYTES; the golden contract projects
+  -- non-ASCII codepoints to one sentinel (0x1A) on both sides, making
+  -- every projected string single-byte so byte == codepoint distance
+  -- (extractors/templatematch.py _NON_ASCII_SENTINEL). len() denominators
+  -- are char counts, unchanged by the projection.
   SELECT *,
-         floor((1.0 - CAST(levenshtein(joined, txt) AS DOUBLE)
+         floor((1.0 - CAST(levenshtein(
+                  regexp_replace(joined, '[^\\x00-\\x7F]', chr(26), 'g'),
+                  regexp_replace(txt, '[^\\x00-\\x7F]', chr(26), 'g'))
+                  AS DOUBLE)
                 / greatest(len(joined), len(txt))) * 1000.0 + 0.5)
            / 1000.0 sim
   FROM mc

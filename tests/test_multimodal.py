@@ -370,3 +370,24 @@ def test_label_components_4_vs_flood_fill():
     assert label_components_4(np.zeros((4, 4), np.uint8)) == 0
     assert estimate_char_width(np.zeros((4, 4), np.uint8), 100) == 8
     assert estimate_char_width(np.eye(3, dtype=np.uint8), 28) == 9
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """Legal 0xFF fill padding between segments must parse in BOTH walks
+    (dims via decode_media's _decode_jpeg, pixels via decode_jpeg_pixels)
+    so the two ok contracts agree on the same asset."""
+    from marie_icr_spark.operators.multimodal import (
+        _decode_jpeg,
+        decode_jpeg_pixels,
+    )
+    from tests.test_jpeg_decode import _flat_zz, encode_jpeg
+
+    blob = encode_jpeg(8, 8, [(1, 1, 1)], [[[_flat_zz(100)]]])
+    # inject two fill bytes before the first post-SOI segment marker
+    padded = blob[:2] + b"\xff\xff" + blob[2:]
+    dims = _decode_jpeg(padded)
+    assert dims["ok"] and dims["width"] == 8 and dims["height"] == 8
+    px = decode_jpeg_pixels(padded)
+    assert px is not None and px.shape[:2] == (8, 8)
+    # and the unpadded decode agrees
+    assert (decode_jpeg_pixels(blob) == px).all()

@@ -124,3 +124,30 @@ def test_max_pages_bound():
     with pytest.raises(ValueError):
         decode_pdf_pages(blob, max_pages=3)
     assert len(decode_pdf_pages(blob, max_pages=4)) == 4
+
+
+def test_pdf_page_from_turn_fail_soft():
+    """Blank turns and dangling line ids must not crash the packer: the
+    reference emits a degenerate empty page (pdf_renderer.py:80-83) and
+    falls back to the word's own box when word2line misses
+    (pdf_renderer.py:113-122)."""
+    from marie_icr_spark.queries_ext import _pdf_page_from_turn
+
+    # completely blank turn -> op-less 1x1 page
+    pg = _pdf_page_from_turn([], [])
+    assert (pg.width, pg.height, pg.ops) == (1, 1, [])
+
+    # words whose line id is missing from the line structs: baseline from
+    # the word box itself
+    words = [
+        {"text": "hi", "box": [0, 20, 18, 16], "line": 7, "word_index": 0}
+    ]
+    pg = _pdf_page_from_turn(words, [])
+    assert (pg.width, pg.height) == (18, 36)
+    assert pg.ops == [(10, 5, 36 - 20 - 12, "hi")]
+
+    # normal path still prefers the owning line's bbox
+    lines = [{"line": 7, "bbox": [0, 18, 40, 20]}]
+    pg = _pdf_page_from_turn(words, lines)
+    assert (pg.width, pg.height) == (40, 38)
+    assert pg.ops == [(13, 5, 38 - 18 - 16, "hi")]

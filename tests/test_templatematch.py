@@ -187,3 +187,34 @@ def test_greedy_dedup_invariant_no_same_label_overlaps(seed):
         for b in kept[i + 1:]:
             if a["label"] == b["label"]:
                 assert not G._is_overlap(a["box"], b["box"])
+
+
+def test_lev_projection_matches_duckdb_bytes():
+    """Non-ASCII codepoints project to the 0x1A sentinel on both sides, so
+    DuckDB's byte-based levenshtein over the same regex projection equals
+    lev_batch exactly — the cross-engine contract for unicode text."""
+    import duckdb
+
+    pairs = [
+        ("CAFÉ X", "CAFE X"),
+        ("日本語 TEXT", "NIHONGO TEXT"),
+        ("naïve café", "naive cafe"),
+        ("ÀÉÎ", "AEI"),
+        ("ÀÉÎ", "ÜÖß"),  # distinct non-ASCII compare EQUAL (pinned)
+        ("plain ascii", "plain ascii"),
+        ("", "É"),
+    ]
+    got = G.lev_batch([a for a, _ in pairs], [b for _, b in pairs]).tolist()
+    con = duckdb.connect()
+    for (a, b), d in zip(pairs, got):
+        sql = con.execute(
+            "SELECT levenshtein("
+            "regexp_replace($1, '[^\\x00-\\x7F]', chr(26), 'g'),"
+            "regexp_replace($2, '[^\\x00-\\x7F]', chr(26), 'g'))",
+            [a, b],
+        ).fetchone()[0]
+        assert d == sql, (a, b, d, sql)
+    # the pinned quantization: all non-ASCII are one equivalence class
+    assert got[4] == 0
+    # and char-length denominators are unchanged by projection
+    assert G.meta_sims(["CAFÉ X"], ["CAFE X"])[0] == G.round3(1 - 1 / 6)

@@ -302,3 +302,20 @@ def test_zip_stored_size_formula():
         + 22
     )
     assert got == expect
+
+
+def test_zip_name_length_grows_past_six_digits():
+    """turn_idx >= 10^6 (a 10^12-turn corpus) makes %06d names grow past
+    16 bytes; the oracle formula sizes names per entry, mirrored here."""
+    import io
+    import zipfile
+
+    for ti in (0, 999_999, 1_000_000, 1_234_567_890):
+        name = f"{ti:06d}.adlib.xml"
+        name_len = max(6, len(str(ti))) + 10
+        assert len(name) == name_len
+        bio = io.BytesIO()
+        with zipfile.ZipFile(bio, "w") as zf:
+            zi = zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, b"<x/>", zipfile.ZIP_STORED)
+        assert len(bio.getvalue()) == (30 + 46) + 2 * name_len + 4 + 22
