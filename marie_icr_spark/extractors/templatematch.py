@@ -188,6 +188,73 @@ def meta_candidates(
     return cands
 
 
+def meta_candidates_pruned(
+    words: list[str],
+    word_lines: list[int],
+    boxes: list[list[int]],
+    selectors: list[Selector],
+    threshold: float = DEFAULT_SCORE_THRESHOLD,
+) -> list[dict]:
+    """``meta_candidates`` with the oracle's length-bound pushdown applied
+    at enumeration time (queries_templates.py ``mc`` CTE): a window is
+    enumerated only if it could survive ``meta_keep`` at ``threshold``.
+
+    Soundness: ``lev(a, b) >= |len(a) - len(b)|`` and ``round3`` is
+    monotone, so ``round3(1 - |L-T|/max(L,T)) <= threshold`` (with
+    ``L != T``, which also rules out the exact-equality arm) implies the
+    window's real score fails the strict ``>`` cut.  Window text length is
+    computed from per-word upper-cased lengths + (n-1) separator chars —
+    no window string is materialized for pruned windows.  The same-line
+    rule uses a cumulative line-change count, exact for arbitrary (even
+    non-monotone) line sequences.  Output order is the greedy-dedup order
+    ``(selector, ngram, start)``, identical to ``meta_candidates``;
+    ``score_meta_candidates(meta_candidates_pruned(...), t)`` ==
+    ``score_meta_candidates(meta_candidates(...), t)`` is pinned by
+    tests/test_templatematch.py."""
+    nw = len(words)
+    if nw == 0:
+        return []
+    ulen = np.fromiter((len(w.upper()) for w in words), np.int64, nw)
+    csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(ulen)])
+    ln = np.asarray(word_lines, dtype=np.int64)
+    # chg[k] = number of line transitions among words[0..k]; a window
+    # [i, i+n) sits on one line iff chg[i+n-1] == chg[i]
+    chg = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(ln[1:] != ln[:-1])]
+    )
+    cands = []
+    for sidx, sel in enumerate(selectors):
+        if sel.text is None or len(sel.text) < MIN_TEMPLATE_LEN:
+            continue
+        tmpl = sel.text.strip().upper()
+        T = len(tmpl)
+        n0 = len(tmpl.split(" "))
+        for n in (n0 - 1, n0, n0 + 1):
+            if not 0 < n <= nw:
+                continue
+            i = np.arange(nw - n + 1)
+            L = csum[i + n] - csum[i] + (n - 1)
+            mx = np.maximum(L, T)
+            bound = (
+                np.floor((1.0 - np.abs(L - T) / mx) * 1000.0 + 0.5) / 1000.0
+            )
+            ok = (chg[i + n - 1] == chg[i]) & ((L == T) | (bound > threshold))
+            for ii in i[ok].tolist():
+                joined = " ".join(words[ii : ii + n]).strip().upper()
+                cands.append(
+                    {
+                        "sidx": sidx,
+                        "label": sel.label,
+                        "tmpl": tmpl,
+                        "n": n,
+                        "start": ii,
+                        "text": joined,
+                        "box": envelope(boxes[ii : ii + n]),
+                    }
+                )
+    return cands
+
+
 def meta_sims(texts: list[str], tmpls: list[str]) -> list[float]:
     """The meta-matcher similarity, batched:
     ``round3(1 - lev(text, tmpl) / max(len(text), len(tmpl)))``.
@@ -337,10 +404,14 @@ def match_frame_meta(
     words, word_lines, boxes, selectors, threshold=DEFAULT_SCORE_THRESHOLD
 ) -> list[dict]:
     """Meta matcher over one frame: candidates → score/threshold → greedy
-    dedup (the full ``MetaTemplateMatcher.predict`` twin)."""
+    dedup (the full ``MetaTemplateMatcher.predict`` twin).  Uses the
+    pruned enumerator — output-identical to the unpruned form."""
     return greedy_dedup(
         score_meta_candidates(
-            meta_candidates(words, word_lines, boxes, selectors), threshold
+            meta_candidates_pruned(
+                words, word_lines, boxes, selectors, threshold
+            ),
+            threshold,
         )
     )
 

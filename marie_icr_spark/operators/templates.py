@@ -127,7 +127,8 @@ def meta_match_turns(
                 _frame_arrays(w) for w in pdf["words"]
             ]
             cands = [
-                G.meta_candidates(ws, ls, bs, sel) for ws, ls, bs in frames
+                G.meta_candidates_pruned(ws, ls, bs, sel, threshold)
+                for ws, ls, bs in frames
             ]
             scored = _score_batch(cands, threshold)
             rows = []
@@ -161,7 +162,7 @@ def composite_match_turns(
             for pdf in batches:
                 frames = [_frame_arrays(w) for w in pdf["words"]]
                 cands = [
-                    G.meta_candidates(ws, ls, bs, sel)
+                    G.meta_candidates_pruned(ws, ls, bs, sel, threshold)
                     for ws, ls, bs in frames
                 ]
                 scored = _score_batch(cands, threshold)

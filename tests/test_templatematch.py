@@ -218,3 +218,27 @@ def test_lev_projection_matches_duckdb_bytes():
     assert got[4] == 0
     # and char-length denominators are unchanged by projection
     assert G.meta_sims(["CAFÉ X"], ["CAFE X"])[0] == G.round3(1 - 1 / 6)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_pruned_enumeration_equals_full_after_scoring(seed):
+    """The length-bound pushdown is invisible after scoring: for random
+    frames (including non-monotone line sequences and multi-byte uppercase
+    expansions like ß→SS), score_meta_candidates over the pruned enumerator
+    equals the same over the full enumerator, in the same order."""
+    rng = random.Random(seed)
+    vocab = ["merge", "sortt", "sort", "value", "group", "x", "straße",
+             "windowpane", "fast", "sm", "q"]
+    nw = rng.randint(0, 25)
+    words = [rng.choice(vocab) for _ in range(nw)]
+    # deliberately non-monotone lines to exercise the line-change counter
+    lines = [rng.randint(0, 3) for _ in range(nw)]
+    boxes = [[rng.randint(0, 200), rng.randint(0, 80),
+              rng.randint(1, 90), 16] for _ in range(nw)]
+    sels = list(G.DEFAULT_SELECTORS) + [G.Selector("lab_str", "STRASSE", 1)]
+    for thr in (0.9, 0.5):
+        full = G.score_meta_candidates(
+            G.meta_candidates(words, lines, boxes, sels), thr)
+        pruned = G.score_meta_candidates(
+            G.meta_candidates_pruned(words, lines, boxes, sels, thr), thr)
+        assert pruned == full
