@@ -111,6 +111,7 @@ FROM g
 
 
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+from .queries_readorder import RO_ORACLES, RO_QUERIES  # noqa: E402
 from .queries_templates import TPL_ORACLES, TPL_QUERIES  # noqa: E402
 from .suites import (  # noqa: E402
     MERGED_MEMBERS,
@@ -127,6 +128,7 @@ ALL_QUERIES = {
     "assemble_conversations": q_assemble_conversations,
     "turn_order": q_turn_order,
     **EXT_QUERIES,
+    **RO_QUERIES,
     **TPL_QUERIES,
     **SUITE_QUERIES,
 }
@@ -137,6 +139,7 @@ ALL_ORACLES = {
     "assemble_conversations": ORACLE_ASSEMBLE,
     "turn_order": ORACLE_TURN_ORDER,
     **EXT_ORACLES,
+    **RO_ORACLES,
     **TPL_ORACLES,
     **SUITE_ORACLES,
 }

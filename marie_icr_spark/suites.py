@@ -803,3 +803,109 @@ MERGED_MEMBERS = MERGED_MEMBERS | {
     "template_meta", "template_composite", "template_composite_break",
     "template_best_per_selector",
 }
+
+
+# ---------------------------------------------------------------------------
+# layout_suite: the word/line struct parity family plus W9 reading order —
+# full word grid (F7 XYXY), line assembly + per-page meta header, LayoutLM
+# 0-1000 box normalization, and the X-Y-cut LayoutReader transposition
+# (golden: extractors/readingorder.py).
+# ---------------------------------------------------------------------------
+
+def q_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_readorder import q_xy_cut_order
+
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+
+    def L(c):
+        return F.col(c).cast("long")
+
+    lw = X.q_layout_words(spark, sf_dir).select(
+        _m("layout_words"), "conv_id", "turn_idx",
+        L("word_id").alias("i1"), L("line_no").alias("i2"),
+        L("word_index").alias("i3"), L("x0").alias("i4"),
+        L("y0").alias("i5"), L("x1").alias("i6"), L("y1").alias("i7"),
+        nl.alias("i8"), F.col("word_text").alias("t1"), ns.alias("t2"),
+        nd.alias("d1"),
+    )
+    ll = X.q_layout_lines(spark, sf_dir).select(
+        _m("layout_lines"), "conv_id", "turn_idx",
+        L("line_no").alias("i1"), L("bb_x").alias("i2"),
+        L("bb_y").alias("i3"), L("bb_w").alias("i4"),
+        L("bb_h").alias("i5"), L("img_w").alias("i6"),
+        L("img_h").alias("i7"), L("n_lines").alias("i8"),
+        F.col("line_text").alias("t1"), F.col("lang").alias("t2"),
+        F.col("line_conf").cast("double").alias("d1"),
+    )
+    nb = X.q_normalized_boxes(spark, sf_dir).select(
+        _m("normalized_boxes"), "conv_id", "turn_idx",
+        L("word_id").alias("i1"), L("nx0").alias("i2"),
+        L("ny0").alias("i3"), L("nx1").alias("i4"), L("ny1").alias("i5"),
+        nl.alias("i6"), nl.alias("i7"), nl.alias("i8"),
+        ns.alias("t1"), ns.alias("t2"), nd.alias("d1"),
+    )
+    xy = q_xy_cut_order(spark, sf_dir).select(
+        _m("xy_cut_order"), "conv_id", "turn_idx",
+        L("pos").alias("i1"), L("word_index").alias("i2"),
+        L("cx").alias("i3"), L("cy").alias("i4"),
+        nl.alias("i5"), nl.alias("i6"), nl.alias("i7"), nl.alias("i8"),
+        F.col("word_text").alias("t1"), ns.alias("t2"), nd.alias("d1"),
+    )
+    return lw.unionByName(ll).unionByName(nb).unionByName(xy)
+
+
+def _layout_suite_oracle() -> str:
+    from .queries_readorder import RO_ORACLES
+
+    nl = "CAST(NULL AS BIGINT)"
+    ns = "CAST(NULL AS VARCHAR)"
+    nd = "CAST(NULL AS DOUBLE)"
+    return "\nUNION ALL\n".join(
+        [
+            _wrap(
+                "layout_words",
+                "conv_id, turn_idx, CAST(word_id AS BIGINT) i1, "
+                "CAST(line_no AS BIGINT) i2, CAST(word_index AS BIGINT) i3, "
+                "CAST(x0 AS BIGINT) i4, CAST(y0 AS BIGINT) i5, "
+                "CAST(x1 AS BIGINT) i6, CAST(y1 AS BIGINT) i7, "
+                f"{nl} i8, word_text t1, {ns} t2, {nd} d1",
+                X.EXT_ORACLES["layout_words"],
+            ),
+            _wrap(
+                "layout_lines",
+                "conv_id, turn_idx, CAST(line_no AS BIGINT) i1, "
+                "CAST(bb_x AS BIGINT) i2, CAST(bb_y AS BIGINT) i3, "
+                "CAST(bb_w AS BIGINT) i4, CAST(bb_h AS BIGINT) i5, "
+                "CAST(img_w AS BIGINT) i6, CAST(img_h AS BIGINT) i7, "
+                "CAST(n_lines AS BIGINT) i8, line_text t1, lang t2, "
+                "CAST(line_conf AS DOUBLE) d1",
+                X.ORACLE_LAYOUT_LINES,
+            ),
+            _wrap(
+                "normalized_boxes",
+                "conv_id, turn_idx, CAST(word_id AS BIGINT) i1, "
+                "CAST(nx0 AS BIGINT) i2, CAST(ny0 AS BIGINT) i3, "
+                "CAST(nx1 AS BIGINT) i4, CAST(ny1 AS BIGINT) i5, "
+                f"{nl} i6, {nl} i7, {nl} i8, {ns} t1, {ns} t2, {nd} d1",
+                X.ORACLE_NORMALIZED_BOXES,
+            ),
+            _wrap(
+                "xy_cut_order",
+                "conv_id, turn_idx, CAST(pos AS BIGINT) i1, "
+                "CAST(word_index AS BIGINT) i2, CAST(cx AS BIGINT) i3, "
+                "CAST(cy AS BIGINT) i4, "
+                f"{nl} i5, {nl} i6, {nl} i7, {nl} i8, "
+                f"word_text t1, {ns} t2, {nd} d1",
+                RO_ORACLES["xy_cut_order"],
+            ),
+        ]
+    )
+
+
+SUITE_QUERIES["layout_suite"] = q_layout_suite
+SUITE_ORACLES["layout_suite"] = _layout_suite_oracle()
+MERGED_MEMBERS = MERGED_MEMBERS | {
+    "layout_words", "layout_lines", "normalized_boxes", "xy_cut_order",
+}

@@ -43,6 +43,13 @@ def test_assemble_is_two_phase_not_global_window(spark):
     assert "Window" not in plan, "reassembly must not sort whole conversations"
 
 
+def test_xy_cut_reorder_is_zero_shuffle(spark):
+    from marie_icr_spark.queries_readorder import q_xy_cut_order
+
+    plan = _plan(q_xy_cut_order(spark, SF_DIR))
+    assert "Exchange" not in plan, "W9 reorder is per-page; must not shuffle"
+
+
 def test_pdf_pack_single_shuffle(spark):
     from marie_icr_spark import queries_ext as X
 
