@@ -144,6 +144,33 @@ def run_op(spark, sf_dir: str, op: str, r: int, mode: str) -> dict:
         dt = time.time() - t0
         for h in handles:
             h.unpersist()
+    if op == "templates":
+        # composite template/selector matching over replicated layout
+        # turns (per-frame work: runtime must scale ~linearly in R and
+        # the length-bound prune must hold its ratio at every scale)
+        from marie_icr_spark.operators.extraction import extract_turns
+        from marie_icr_spark.operators.readingorder import (
+            xy_cut_reading_order,
+        )
+        from marie_icr_spark.operators.templates import composite_match_turns
+        from marie_icr_spark.sources.transcripts import transcripts_from_docs
+
+        t = transcripts_from_docs(spark, sf_dir, replicate=r)
+        e = extract_turns(t, with_structs=True).filter(
+            F.col("payload_kind") == "layout"
+        )
+        n_in = e.count()
+        t0 = time.time()
+        rows = composite_match_turns(e).count()
+        dt = time.time() - t0
+        t1 = time.time()
+        ro = xy_cut_reading_order(e).count()
+        dt_ro = time.time() - t1
+        return {
+            "op": op, "scale": r, "mode": "replicate",
+            "input_rows": n_in, "output_rows": rows, "sec": round(dt, 2),
+            "xy_cut_rows": ro, "xy_cut_sec": round(dt_ro, 2),
+        }
     else:
         corpus = scaled_corpus(spark, sf_dir, r, mode)
         n_in = corpus.count()
