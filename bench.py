@@ -40,10 +40,12 @@ def materialize_transcripts(spark, sf_dir: str, replicate: int) -> str:
     marker = os.path.join(cache, "_SUCCESS")
     if not os.path.exists(marker):
         # 256 splits: fine-grained tasks load-balance the 4× cost spread
-        # between payload kinds even at 32+ cores (no straggler waves)
+        # between payload kinds even at 32+ cores (no straggler waves);
+        # partitions=256 repartitions BEFORE payload construction so the
+        # generator itself runs wide, not just the write
         (
-            transcripts_from_docs(spark, sf_dir, replicate=replicate)
-            .repartition(256)
+            transcripts_from_docs(spark, sf_dir, replicate=replicate,
+                                  partitions=256)
             .write.mode("overwrite")
             .parquet(cache)
         )

@@ -150,13 +150,21 @@ def _layout_payload_udf(doc_id: pd.Series, lines: pd.Series) -> pd.Series:
 
 
 def transcripts_from_docs(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession, sf_dir: str, replicate: int = 1,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Transcript table deterministically derived from ``documents.parquet``.
 
     ``replicate > 1`` fans each document out into that many turns (for bench
     scale); payload construction is identical per replica. Output columns are
     exactly the input_hint schema.
+
+    ``partitions`` repartitions the exploded (doc_id, text, rep) rows BEFORE
+    payload construction: documents.parquet is a single split at small SF, so
+    without it every payload is built on one task no matter how many cores
+    the session has. Pass it on any path that consumes the frame directly at
+    replicate > 1 (bench/stress); paths that land in a shuffle right away can
+    leave it unset and let the shuffle fan out.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     if replicate > 1:
@@ -165,6 +173,8 @@ def transcripts_from_docs(
         ).withColumn("vid", F.col("doc_id") * replicate + F.col("rep"))
     else:
         docs = docs.withColumn("vid", F.col("doc_id"))
+    if partitions:
+        docs = docs.repartition(partitions)
 
     conv_mod = CONV_MOD * max(1, int(np.sqrt(replicate)))
     d = (

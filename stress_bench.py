@@ -133,7 +133,7 @@ def run_op(spark, sf_dir: str, op: str, r: int, mode: str) -> dict:
         from marie_icr_spark.plans import corpus as CP
         from marie_icr_spark.sources.transcripts import transcripts_from_docs
 
-        t = transcripts_from_docs(spark, sf_dir, replicate=r)
+        t = transcripts_from_docs(spark, sf_dir, replicate=r, partitions=256)
         n_in = t.count()
         handles: list = []
         t0 = time.time()
@@ -155,7 +155,10 @@ def run_op(spark, sf_dir: str, op: str, r: int, mode: str) -> dict:
         from marie_icr_spark.operators.templates import composite_match_turns
         from marie_icr_spark.sources.transcripts import transcripts_from_docs
 
-        t = transcripts_from_docs(spark, sf_dir, replicate=r)
+        # partitions=256: the generator's single input split would
+        # otherwise serialize payload construction AND the extraction map
+        # on one task (same 256-split shape bench.py materializes)
+        t = transcripts_from_docs(spark, sf_dir, replicate=r, partitions=256)
         e = extract_turns(t, with_structs=True).filter(
             F.col("payload_kind") == "layout"
         )
