@@ -110,6 +110,7 @@ FROM g
 )
 
 
+from .queries_embed import EMB_ORACLES, EMB_QUERIES  # noqa: E402
 from .queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from .queries_readorder import RO_ORACLES, RO_QUERIES  # noqa: E402
 from .queries_templates import TPL_ORACLES, TPL_QUERIES  # noqa: E402
@@ -130,6 +131,7 @@ ALL_QUERIES = {
     **EXT_QUERIES,
     **RO_QUERIES,
     **TPL_QUERIES,
+    **EMB_QUERIES,
     **SUITE_QUERIES,
 }
 
@@ -141,6 +143,7 @@ ALL_ORACLES = {
     **EXT_ORACLES,
     **RO_ORACLES,
     **TPL_ORACLES,
+    **EMB_ORACLES,
     **SUITE_ORACLES,
 }
 

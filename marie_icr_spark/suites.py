@@ -909,3 +909,56 @@ SUITE_ORACLES["layout_suite"] = _layout_suite_oracle()
 MERGED_MEMBERS = MERGED_MEMBERS | {
     "layout_words", "layout_lines", "normalized_boxes", "xy_cut_order",
 }
+
+
+# ---------------------------------------------------------------------------
+# embed_suite: deterministic hashed n-gram embeddings + exact dot-product
+# top-k (the embeddings-adapter family, marie/embeddings/base.py +
+# vectorstores/pgvector — model replaced by feature hashing).
+# ---------------------------------------------------------------------------
+
+def q_embed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_embed import q_embed_docs, q_embed_topk
+
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    ed = q_embed_docs(spark, sf_dir).select(
+        _m("embed_docs"), F.col("doc_id").cast("long").alias("i1"),
+        nl.alias("i2"), F.col("norm_sq").cast("long").alias("i3"),
+        nl.alias("i4"), F.col("embedding_csv").alias("t1"),
+    )
+    tk = q_embed_topk(spark, sf_dir).select(
+        _m("embed_topk"), F.col("probe_id").cast("long").alias("i1"),
+        F.col("hit_id").cast("long").alias("i2"),
+        F.col("dot").cast("long").alias("i3"),
+        F.col("rank").cast("long").alias("i4"), ns.alias("t1"),
+    )
+    return ed.unionByName(tk)
+
+
+def _embed_suite_oracle() -> str:
+    from .queries_embed import EMB_ORACLES
+
+    nl = "CAST(NULL AS BIGINT)"
+    ns = "CAST(NULL AS VARCHAR)"
+    return "\nUNION ALL\n".join(
+        [
+            _wrap(
+                "embed_docs",
+                f"CAST(doc_id AS BIGINT) i1, {nl} i2, "
+                f"CAST(norm_sq AS BIGINT) i3, {nl} i4, embedding_csv t1",
+                EMB_ORACLES["embed_docs"],
+            ),
+            _wrap(
+                "embed_topk",
+                "CAST(probe_id AS BIGINT) i1, CAST(hit_id AS BIGINT) i2, "
+                f"CAST(dot AS BIGINT) i3, CAST(rank AS BIGINT) i4, {ns} t1",
+                EMB_ORACLES["embed_topk"],
+            ),
+        ]
+    )
+
+
+SUITE_QUERIES["embed_suite"] = q_embed_suite
+SUITE_ORACLES["embed_suite"] = _embed_suite_oracle()
+MERGED_MEMBERS = MERGED_MEMBERS | {"embed_docs", "embed_topk"}
