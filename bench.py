@@ -68,7 +68,7 @@ def run_bench(spark, sf_dir: str, replicate: int) -> dict:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn, reps: int = 2):
+    def timed(name, fn, reps: int = 3):
         # best-of-N: single-shot timings on a shared sandbox swing 2x
         best = None
         for _ in range(reps):
