@@ -380,14 +380,11 @@ def greedy_nmm(
         )
         while rem:
             sel = rem[0]
-            matched = [
-                r for r in rem[1:] if _ios(r["box"], sel["box"]) > ios_threshold
-            ]
-            rem = [
-                r
-                for r in rem[1:]
-                if _ios(r["box"], sel["box"]) <= ios_threshold
-            ]
+            matched, kept = [], []
+            for r in rem[1:]:  # one _ios per element per round
+                (matched if _ios(r["box"], sel["box"]) > ios_threshold
+                 else kept).append(r)
+            rem = kept
             group = [sel] + matched
             out.append(
                 {

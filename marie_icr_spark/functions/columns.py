@@ -50,6 +50,16 @@ def portable_hash31_sql(expr: str) -> str:
     )
 
 
+def portable_hash31_py(s: str) -> int:
+    """Pure-Python twin of :func:`portable_hash31` — the ONE definition of
+    the cross-engine hash contract (md5 hex[:15] mod HASH_P). Every Python
+    golden that must replay a hash-keyed oracle imports this; do not
+    re-implement it inline (three copies once drifted silently)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % HASH_P
+
+
 def ws_tokens(col: Column) -> Column:
     """Whitespace tokens of a trimmed, whitespace-collapsed string."""
     return F.split(F.regexp_replace(F.trim(col), r"\s+", " "), " ")

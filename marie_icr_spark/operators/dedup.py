@@ -199,7 +199,7 @@ def _minhash_sig_udf():
     import numpy as np
     from pyspark.sql import types as T
 
-    from .inference import portable_hash31_py
+    from ..functions.columns import portable_hash31_py
 
     a = np.array(MINHASH_A, dtype=np.int64)[:, None]  # [K, 1]
     b = np.array(MINHASH_B, dtype=np.int64)[:, None]

@@ -32,24 +32,16 @@ paths for bigger probe sets live in ``operators/similarity.py``.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.columns import HASH_P
+from ..functions.columns import portable_hash31_py as _hash31
 
 DIMS = 64
 NGRAM = 3
-
-
-def _hash31(s: str) -> int:
-    """Python twin of ``functions.columns.portable_hash31`` (md5 hex
-    prefix mod HASH_P — identical in Spark SQL and DuckDB SQL)."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % HASH_P
 
 
 _JAVA_WS = None
@@ -135,8 +127,6 @@ def embed_topk(
     spark = corpus.sparkSession
     probe_ids = [int(p) for p, _ in probes]
     pm = np.asarray([e for _, e in probes], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((probe_ids, pm))
-    n_probe = len(probe_ids)
 
     schema = T.StructType(
         [
@@ -145,6 +135,16 @@ def embed_topk(
             T.StructField("dot", T.LongType()),
         ]
     )
+    if not probe_ids:
+        # no probes → zero candidate rows (an empty pm has shape (0,), so
+        # the per-partition matmul would raise in every task otherwise)
+        empty = T.StructType(
+            schema.fields + [T.StructField("rank", T.IntegerType())]
+        )
+        return spark.createDataFrame([], schema=empty)
+
+    bc = spark.sparkContext.broadcast((probe_ids, pm))
+    n_probe = len(probe_ids)
 
     def local_topk(batches):
         pids, mat = bc.value

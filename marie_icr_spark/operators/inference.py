@@ -19,7 +19,6 @@ by that entry's stage; matches from all entries union.
 
 from __future__ import annotations
 
-import hashlib
 import math
 import re
 from collections import Counter
@@ -31,16 +30,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.columns import HASH_P
+from ..functions.columns import HASH_P, portable_hash31_py
 
 VOCAB_BUCKETS = 64
 WEIGHT_MOD = 1000
 _WS = re.compile(r"\s+", re.ASCII)
-
-
-def portable_hash31_py(s: str) -> int:
-    """Python twin of functions.columns.portable_hash31 (md5 hex[:15] mod P)."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % HASH_P
 
 
 def _ws_tokens_py(text: str) -> list[str]:

@@ -4223,7 +4223,7 @@ def q_pdf_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one narrow mapInPandas; a conversation is bounded by CONV_MOD so no
     single task holds more than one conversation's pages.
     """
-    from .functions.columns import HASH_P
+    from .functions.columns import portable_hash31_py
     from .operators import pdfio
 
     t = transcripts_from_docs(spark, sf_dir)
@@ -4241,8 +4241,6 @@ def q_pdf_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pack(batches):
-        import hashlib
-
         import pandas as pd
 
         for pdf in batches:
@@ -4259,15 +4257,7 @@ def q_pdf_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if not pg.ops:
                         continue
                     txt = " ".join(op[3] for op in pg.ops)
-                    h31 = (
-                        int(
-                            hashlib.md5(txt.encode("utf-8")).hexdigest()[
-                                :15
-                            ],
-                            16,
-                        )
-                        % HASH_P
-                    )
+                    h31 = portable_hash31_py(txt)
                     rows.append(
                         (
                             conv_id,

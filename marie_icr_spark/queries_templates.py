@@ -98,19 +98,25 @@ sel AS (
 # Two semantics-preserving pushdowns keep this cheap at scale:
 # * same-line = first.ln == last.ln (words are in reading order, so a
 #   contiguous window spans one line iff its endpoints agree);
-# * window char length comes from box arithmetic alone ((x_last + w_last -
-#   x_first) / 9, the grid geometry), and levenshtein(a, b) >= |len(a) -
-#   len(b)|, so any window whose length-difference bound already fails the
-#   strict 0.9 cut (and is not length-equal, a precondition for the exact
-#   rule) can be dropped BEFORE any string is materialized.  round3 is
-#   monotone, so the bound transfers through the rounding.
+# * window char length is an integer list_sum over the window's per-word
+#   UPPER-CASED lengths (+ n-1 separators) — ws.t is already upper(), so
+#   len(e.t) is the post-case length the real score uses (box geometry
+#   9*len(original) would under-count case-expanding codepoints like
+#   ß→SS and unsoundly prune, extractors/templatematch.py golden) — and
+#   levenshtein(a, b) >= |len(a) - len(b)|, so any window whose
+#   length-difference bound already fails the strict 0.9 cut (and is not
+#   length-equal, a precondition for the exact rule) can be dropped
+#   BEFORE any window string is materialized.  round3 is monotone, so
+#   the bound transfers through the rounding.
 _META_CTES = """
 mc0 AS (
   SELECT w.doc_id, w.conv_id, w.turn_idx, s.sidx, s.label, s.txt,
          ni.n, ni.i,
          w.ws[ni.i+1].x bx, w.ws[ni.i+1].y bby,
          w.ws[ni.i+ni.n].x + w.ws[ni.i+ni.n].w - w.ws[ni.i+1].x bw,
-         16 bh
+         16 bh,
+         list_sum(list_transform(w.ws[ni.i+1 : ni.i+ni.n], e -> len(e.t)))
+           + ni.n - 1 wlen
   FROM wl w
   CROSS JOIN sel s
   CROSS JOIN LATERAL (
@@ -126,9 +132,9 @@ mc AS (
          array_to_string(list_transform(w2.ws[mc0.i+1 : mc0.i+mc0.n],
                                         e -> e.t), ' ') joined
   FROM mc0 JOIN wl w2 ON w2.doc_id = mc0.doc_id
-  WHERE mc0.bw // 9 = len(mc0.txt)
-     OR floor((1.0 - CAST(abs(mc0.bw // 9 - len(mc0.txt)) AS DOUBLE)
-               / greatest(mc0.bw // 9, len(mc0.txt))) * 1000.0 + 0.5)
+  WHERE mc0.wlen = len(mc0.txt)
+     OR floor((1.0 - CAST(abs(mc0.wlen - len(mc0.txt)) AS DOUBLE)
+               / greatest(mc0.wlen, len(mc0.txt))) * 1000.0 + 0.5)
           / 1000.0 > 0.9
 ),
 msc AS (
@@ -248,27 +254,16 @@ nmm{sfx}(doc_id, conv_id, turn_idx, "label", rem, out) AS (
                     s DOUBLE, c INTEGER)[]
   FROM srt{sfx}
   UNION ALL
+  -- z.fl tags every remaining element with its IOS-vs-selected flag ONCE
+  -- per round (the 10-line predicate used to be evaluated twice per
+  -- element: once negated for the kept list, once for the merge group)
   SELECT doc_id, conv_id, turn_idx, "label",
-         list_filter(rem[2:], r -> NOT (
-            least(r.x + r.w, rem[1].x + rem[1].w) > greatest(r.x, rem[1].x)
-            AND least(r.y + r.h, rem[1].y + rem[1].h) > greatest(r.y, rem[1].y)
-            AND CAST((least(r.x + r.w, rem[1].x + rem[1].w)
-                      - greatest(r.x, rem[1].x))
-                   * (least(r.y + r.h, rem[1].y + rem[1].h)
-                      - greatest(r.y, rem[1].y)) AS DOUBLE)
-                / least(r.w * r.h, rem[1].w * rem[1].h) > 0.5)),
+         list_transform(list_filter(z.fl, e -> NOT e.m), e -> e.r),
          list_append(out,
            list_reduce(
              list_transform(
-               list_prepend(rem[1], list_filter(rem[2:], r ->
-                 least(r.x + r.w, rem[1].x + rem[1].w) > greatest(r.x, rem[1].x)
-                 AND least(r.y + r.h, rem[1].y + rem[1].h)
-                     > greatest(r.y, rem[1].y)
-                 AND CAST((least(r.x + r.w, rem[1].x + rem[1].w)
-                           - greatest(r.x, rem[1].x))
-                        * (least(r.y + r.h, rem[1].y + rem[1].h)
-                           - greatest(r.y, rem[1].y)) AS DOUBLE)
-                     / least(r.w * r.h, rem[1].w * rem[1].h) > 0.5)),
+               list_prepend(rem[1],
+                 list_transform(list_filter(z.fl, e -> e.m), e -> e.r)),
                e -> {{'x': e.x, 'y': e.y, 'w': e.w, 'h': e.h,
                       's': e.s, 'c': 1}}),
              (a, b) -> {{'x': least(a.x, b.x), 'y': least(a.y, b.y),
@@ -277,7 +272,16 @@ nmm{sfx}(doc_id, conv_id, turn_idx, "label", rem, out) AS (
                          'h': greatest(a.y + a.h, b.y + b.h)
                               - least(a.y, b.y),
                          's': greatest(a.s, b.s), 'c': a.c + b.c}}))
-  FROM nmm{sfx} WHERE len(rem) > 0
+  FROM nmm{sfx}, LATERAL (
+    SELECT list_transform(rem[2:], r -> {{'r': r, 'm':
+      least(r.x + r.w, rem[1].x + rem[1].w) > greatest(r.x, rem[1].x)
+      AND least(r.y + r.h, rem[1].y + rem[1].h) > greatest(r.y, rem[1].y)
+      AND CAST((least(r.x + r.w, rem[1].x + rem[1].w)
+                - greatest(r.x, rem[1].x))
+             * (least(r.y + r.h, rem[1].y + rem[1].h)
+                - greatest(r.y, rem[1].y)) AS DOUBLE)
+          / least(r.w * r.h, rem[1].w * rem[1].h) > 0.5}}) fl) z
+  WHERE len(rem) > 0
 ),
 merged{sfx} AS (
   SELECT conv_id, turn_idx, "label",

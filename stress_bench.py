@@ -144,7 +144,7 @@ def run_op(spark, sf_dir: str, op: str, r: int, mode: str) -> dict:
         dt = time.time() - t0
         for h in handles:
             h.unpersist()
-    if op == "templates":
+    elif op == "templates":
         # composite template/selector matching over replicated layout
         # turns (per-frame work: runtime must scale ~linearly in R and
         # the length-bound prune must hold its ratio at every scale)

@@ -101,3 +101,15 @@ def test_embed_topk_exact_and_no_nested_loop(spark):
             if r["probe_id"] == pid
         ]
         assert got_p == exp
+
+
+def test_embed_topk_empty_probes(spark):
+    """No probes → empty result frame (not a per-task matmul crash)."""
+    from marie_icr_spark.operators.embeddings import embed_rows, embed_topk
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = embed_topk(embed_rows(df), [], k=3)
+    assert out.columns == ["probe_id", "hit_id", "dot", "rank"]
+    assert out.count() == 0
