@@ -8,7 +8,7 @@ stack to text transcripts:
   per frame, per selector, slide word n-gram windows of sizes
   ``{n0-1, n0, n0+1}`` (clipped to ``0 < n <= n_words``) over the page words
   in reading order, skip windows spanning more than one line, join with
-  ``' '``/strip/upper both sides, and accept a window when it equals the
+  ``' '``/strip/``canon_upper`` both sides, and accept a window when it equals the
   template text exactly OR its similarity exceeds ``score_threshold``
   (strict ``>``; ``document_matched.py:196`` pins 0.9).  The reference's
   ``score()`` blends Levenshtein similarity with two GPU embedding
@@ -27,7 +27,7 @@ stack to text transcripts:
 * **prefix matcher** — deterministic stand-in for the visual fallback
   matcher (``VQNNFTemplateMatcher``; GPU model, n/a for transcripts):
   windows of exactly ``n0`` words where every page word starts with the
-  corresponding template word (upper-cased), same-line rule as above,
+  corresponding template word (``canon_upper``-cased), same-line rule as above,
   ``score = round3(len(template) / len(window_text))`` (1.0 iff exact).
   Same greedy label-aware dedup, ordered by ``(selector, start)``.
 
@@ -90,15 +90,42 @@ def round3(x: float) -> float:
     return math.floor(x * 1000.0 + 0.5) / 1000.0
 
 
-#: Non-ASCII codepoints are projected onto ONE sentinel class before the
-#: distance DP (0x1A SUB, never in real text).  DuckDB's ``levenshtein``
-#: counts BYTES while Python counts codepoints, so they diverge on any
-#: multibyte text; after projecting both sides with the same rule
-#: (``regexp_replace(s, '[^\x00-\x7F]', chr(26), 'g')`` in SQL) every
-#: projected string is single-byte and byte == codepoint distance exactly,
-#: with char lengths unchanged.  Pinned quantization vs the reference's
-#: full-unicode distance: two DISTINCT non-ASCII codepoints compare equal.
+#: Non-ASCII codepoints are projected onto ONE sentinel class (0x1A SUB,
+#: never in real text) BEFORE any case mapping or distance math.  Two
+#: cross-engine divergences force this, and one projection rule fixes both:
+#:
+#: * DuckDB's ``levenshtein`` counts BYTES while Python counts codepoints —
+#:   after projection every string is single-byte, so byte == codepoint
+#:   distance exactly, with char lengths unchanged (projection is 1:1).
+#: * DuckDB's ``upper()`` is the Unicode SIMPLE case map (1:1 — ß→ẞ) while
+#:   Python ``str.upper()`` is the FULL case map (ß→SS, ligature
+#:   expansion), so upper-casing raw text diverges in both content and
+#:   length.  Projecting FIRST leaves only ASCII (+ the sentinel), where
+#:   the two engines' case maps agree exactly and never change length.
+#:
+#: SQL twin: ``upper(regexp_replace(s, '[^\x00-\x7F]', chr(26), 'g'))``.
+#: Pinned quantization vs the reference's full-unicode matching: two
+#: DISTINCT non-ASCII codepoints compare equal (and match case-blind).
 _NON_ASCII_SENTINEL = 0x1A
+
+
+def _project_ascii(s: str) -> str:
+    """Replace every non-ASCII codepoint with the sentinel (1:1,
+    length-preserving)."""
+    if s.isascii():
+        return s
+    return "".join(c if ord(c) < 128 else "\x1a" for c in s)
+
+
+def canon_upper(s: str) -> str:
+    """THE pinned case/charset canonicalization: project, then upper.
+
+    After ``_project_ascii`` the string is pure ASCII, so ``str.upper()``
+    here equals DuckDB ``upper()`` byte-for-byte and ``len`` is invariant
+    under it — every window text, template text, char length, equality
+    test, and prefix test in this module goes through this one function;
+    change it only together with the SQL twin in queries_templates.py."""
+    return _project_ascii(s).upper()
 
 
 def lev_batch(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
@@ -165,7 +192,7 @@ def meta_candidates(
     for sidx, sel in enumerate(selectors):
         if sel.text is None or len(sel.text) < MIN_TEMPLATE_LEN:
             continue
-        tmpl = sel.text.strip().upper()
+        tmpl = canon_upper(sel.text.strip())
         n0 = len(tmpl.split(" "))
         for n in (n0 - 1, n0, n0 + 1):
             if not 0 < n <= nw:
@@ -173,7 +200,7 @@ def meta_candidates(
             for i in range(nw - n + 1):
                 if len(set(word_lines[i : i + n])) > 1:
                     continue
-                joined = " ".join(words[i : i + n]).strip().upper()
+                joined = canon_upper(" ".join(words[i : i + n]).strip())
                 cands.append(
                     {
                         "sidx": sidx,
@@ -203,7 +230,8 @@ def meta_candidates_pruned(
     monotone, so ``round3(1 - |L-T|/max(L,T)) <= threshold`` (with
     ``L != T``, which also rules out the exact-equality arm) implies the
     window's real score fails the strict ``>`` cut.  Window text length is
-    computed from per-word upper-cased lengths + (n-1) separator chars —
+    computed from per-word char lengths + (n-1) separator chars (exact:
+    ``canon_upper`` is 1:1, so the canonical text has the raw length) —
     no window string is materialized for pruned windows.  The same-line
     rule uses a cumulative line-change count, exact for arbitrary (even
     non-monotone) line sequences.  Output order is the greedy-dedup order
@@ -214,7 +242,7 @@ def meta_candidates_pruned(
     nw = len(words)
     if nw == 0:
         return []
-    ulen = np.fromiter((len(w.upper()) for w in words), np.int64, nw)
+    ulen = np.fromiter((len(w) for w in words), np.int64, nw)
     csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(ulen)])
     ln = np.asarray(word_lines, dtype=np.int64)
     # chg[k] = number of line transitions among words[0..k]; a window
@@ -226,7 +254,7 @@ def meta_candidates_pruned(
     for sidx, sel in enumerate(selectors):
         if sel.text is None or len(sel.text) < MIN_TEMPLATE_LEN:
             continue
-        tmpl = sel.text.strip().upper()
+        tmpl = canon_upper(sel.text.strip())
         T = len(tmpl)
         n0 = len(tmpl.split(" "))
         for n in (n0 - 1, n0, n0 + 1):
@@ -240,7 +268,7 @@ def meta_candidates_pruned(
             )
             ok = (chg[i + n - 1] == chg[i]) & ((L == T) | (bound > threshold))
             for ii in i[ok].tolist():
-                joined = " ".join(words[ii : ii + n]).strip().upper()
+                joined = canon_upper(" ".join(words[ii : ii + n]).strip())
                 cands.append(
                     {
                         "sidx": sidx,
@@ -300,11 +328,11 @@ def prefix_candidates(
     start)`` order."""
     out = []
     nw = len(words)
-    uwords = [w.upper() for w in words]
+    uwords = [canon_upper(w) for w in words]
     for sidx, sel in enumerate(selectors):
         if sel.text is None or len(sel.text) < MIN_TEMPLATE_LEN:
             continue
-        tmpl = sel.text.strip().upper()
+        tmpl = canon_upper(sel.text.strip())
         tws = tmpl.split(" ")
         n = len(tws)
         if not 0 < n <= nw:
@@ -314,7 +342,7 @@ def prefix_candidates(
                 continue
             if not all(uwords[i + j].startswith(tws[j]) for j in range(n)):
                 continue
-            joined = " ".join(words[i : i + n]).strip().upper()
+            joined = canon_upper(" ".join(words[i : i + n]).strip())
             out.append(
                 {
                     "sidx": sidx,

@@ -9,6 +9,8 @@ engine-internal keys (salting, lineage buckets) only.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -55,8 +57,6 @@ def portable_hash31_py(s: str) -> int:
     the cross-engine hash contract (md5 hex[:15] mod HASH_P). Every Python
     golden that must replay a hash-keyed oracle imports this; do not
     re-implement it inline (three copies once drifted silently)."""
-    import hashlib
-
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % HASH_P
 
 

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.columns import HASH_P, portable_hash31_py
+from ..functions.columns import portable_hash31_py
 
 VOCAB_BUCKETS = 64
 WEIGHT_MOD = 1000

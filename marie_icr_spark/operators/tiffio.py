@@ -444,8 +444,10 @@ def encode_tiff(frames: list[dict]) -> bytes:
                         packbits_encode(raw[y * stride : (y + 1) * stride])
                         for y in range(h)
                     )
-                else:
+                elif comp == COMP_NONE:
                     strip = raw
+                else:
+                    raise ValueError("encode_tiff: unsupported compression")
             bits, spp, photometric = [1], 1, 0
         else:
             spp = 3 if mode == "rgb" else 1

@@ -16,14 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.columns import WS_TOKENS_SQL as _TOKENS_SQL
 from .functions.columns import ngrams_sql, portable_hash31_sql
 from .operators.embeddings import DIMS, NGRAM, embed_rows, embed_topk
 from .sources.tables import load_table
-
-_TOKENS_SQL = (
-    "string_split(regexp_replace(trim({e}),"
-    " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')"
-)
 _TOPK_K = 5
 _PROBE_MOD = 97
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from .functions.columns import (
     HASH_P,
+    WS_TOKENS_SQL as _TOKENS_SQL,  # the ONE token-split contract definition
     portable_hash31_sql,
     rolling_fingerprint_sql,
     shingles_sql,
@@ -47,9 +48,6 @@ from .operators.voting import (
 )
 from .sources.tables import load_table
 from .sources.transcripts import CONV_MOD, transcripts_from_docs
-
-_TOKENS_SQL = "string_split(regexp_replace(trim({e}), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')"
-
 
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .extractors.templatematch import DEFAULT_SELECTORS
+from .extractors.templatematch import DEFAULT_SELECTORS, canon_upper
+from .functions.columns import WS_TOKENS_SQL as _TOKENS_SQL
 from .operators.extraction import extract_turns
 from .operators.templates import (
     best_per_selector,
@@ -33,11 +34,11 @@ from .operators.templates import (
 )
 from .sources.transcripts import CONV_MOD, transcripts_from_docs
 
-_TOKENS_SQL = "string_split(regexp_replace(trim({e}), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')"
-
-# selector literals (must stay in lockstep with DEFAULT_SELECTORS)
+# selector literals (must stay in lockstep with DEFAULT_SELECTORS);
+# canon_upper = the golden project-then-upper rule, so the literal is
+# identical to the Python side's template text by construction
 _SEL_VALUES = ",\n    ".join(
-    f"({i}, '{s.label}', '{s.text.strip().upper()}', {s.top_k})"
+    f"({i}, '{s.label}', '{canon_upper(s.text.strip())}', {s.top_k})"
     for i, s in enumerate(DEFAULT_SELECTORS)
 )
 
@@ -77,7 +78,9 @@ gi AS (
 ),
 wl AS MATERIALIZED (
   SELECT doc_id, conv_id, turn_idx,
-         list({{'t': upper(word_text), 'ln': CAST(ln AS INTEGER),
+         list({{'t': upper(regexp_replace(word_text, '[^\\x00-\\x7F]',
+                                          chr(26), 'g')),
+               'ln': CAST(ln AS INTEGER),
                'x': CAST(x AS INTEGER), 'y': CAST(ln * 20 AS INTEGER),
                'w': CAST(9 * len(word_text) AS INTEGER), 'h': 16}}
               ORDER BY g) ws
@@ -99,10 +102,10 @@ sel AS (
 # * same-line = first.ln == last.ln (words are in reading order, so a
 #   contiguous window spans one line iff its endpoints agree);
 # * window char length is an integer list_sum over the window's per-word
-#   UPPER-CASED lengths (+ n-1 separators) — ws.t is already upper(), so
-#   len(e.t) is the post-case length the real score uses (box geometry
-#   9*len(original) would under-count case-expanding codepoints like
-#   ß→SS and unsoundly prune, extractors/templatematch.py golden) — and
+#   canonical-text lengths (+ n-1 separators) — ws.t went through the
+#   project-then-upper rule (1:1, length-preserving: see canon_upper in
+#   extractors/templatematch.py), so len(e.t) IS the length the real
+#   score uses — and
 #   levenshtein(a, b) >= |len(a) - len(b)|, so any window whose
 #   length-difference bound already fails the strict 0.9 cut (and is not
 #   length-equal, a precondition for the exact rule) can be dropped
@@ -138,16 +141,12 @@ mc AS (
           / 1000.0 > 0.9
 ),
 msc AS (
-  -- DuckDB levenshtein counts BYTES; the golden contract projects
-  -- non-ASCII codepoints to one sentinel (0x1A) on both sides, making
-  -- every projected string single-byte so byte == codepoint distance
-  -- (extractors/templatematch.py _NON_ASCII_SENTINEL). len() denominators
-  -- are char counts, unchanged by the projection.
+  -- joined/txt are already canonical (project-then-upper at the wl /
+  -- selector-literal sites — extractors/templatematch.py canon_upper):
+  -- pure single-byte ASCII, so DuckDB's BYTE-counting levenshtein equals
+  -- Python's codepoint distance directly, no per-call projection needed.
   SELECT *,
-         floor((1.0 - CAST(levenshtein(
-                  regexp_replace(joined, '[^\\x00-\\x7F]', chr(26), 'g'),
-                  regexp_replace(txt, '[^\\x00-\\x7F]', chr(26), 'g'))
-                  AS DOUBLE)
+         floor((1.0 - CAST(levenshtein(joined, txt) AS DOUBLE)
                 / greatest(len(joined), len(txt))) * 1000.0 + 0.5)
            / 1000.0 sim
   FROM mc

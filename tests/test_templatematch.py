@@ -220,11 +220,42 @@ def test_lev_projection_matches_duckdb_bytes():
     assert G.meta_sims(["CAFÉ X"], ["CAFE X"])[0] == G.round3(1 - 1 / 6)
 
 
+def test_canon_upper_matches_duckdb_simple_case_map():
+    """canon_upper (project non-ASCII → sentinel, THEN upper) equals
+    DuckDB's ``upper(regexp_replace(...))`` byte-for-byte, including on
+    codepoints where Python's FULL case map diverges from DuckDB's SIMPLE
+    one: ß (Python SS / DuckDB ẞ), the ﬁ ligature (Python FI / DuckDB
+    unchanged), ŉ (Python ʼN).  Projecting first removes the divergence
+    and makes the case map length-preserving — the template oracle's
+    window lengths, equality tests, and prefix tests all rely on this."""
+    import duckdb
+
+    cases = [
+        "straße",
+        "ﬁle ﬂow",      # ligatures
+        "ŉgram",         # U+0149, full map expands to ʼN
+        "İstanbul",      # dotted capital I
+        "Mixed ASCII only",
+        "",
+        "ǰunk ﬆring",
+    ]
+    con = duckdb.connect()
+    for s in cases:
+        sql = con.execute(
+            "SELECT upper(regexp_replace($1, '[^\\x00-\\x7F]', chr(26), 'g'))",
+            [s],
+        ).fetchone()[0]
+        got = G.canon_upper(s)
+        assert got == sql, (s, got, sql)
+        assert len(got) == len(s)  # 1:1 — length-preserving
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_pruned_enumeration_equals_full_after_scoring(seed):
     """The length-bound pushdown is invisible after scoring: for random
-    frames (including non-monotone line sequences and multi-byte uppercase
-    expansions like ß→SS), score_meta_candidates over the pruned enumerator
+    frames (including non-monotone line sequences and non-ASCII words like
+    straße, which canon_upper projects 1:1 — no length change),
+    score_meta_candidates over the pruned enumerator
     equals the same over the full enumerator, in the same order."""
     rng = random.Random(seed)
     vocab = ["merge", "sortt", "sort", "value", "group", "x", "straße",
