@@ -181,7 +181,10 @@ def finalize_corpus(
         )
         convs = ids.join(losers, "cid", "left_anti").drop("cid")
 
-    if rates:
+    # rates=None skips sampling; rates={} means "no per-language override,
+    # sample everything at default_rate" (a falsy check would silently
+    # skip sampling and inflate the corpus 1/default_rate-fold)
+    if rates is not None:
         convs = stratified_hash_sample(
             convs,
             rates,

@@ -36,7 +36,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import corpus as C
-from .manifest import commit_table, load_manifest, read_incremental, read_results
+from .manifest import (
+    commit_table,
+    current_version,
+    load_manifest,
+    read_incremental,
+    read_results,
+)
 
 #: stage-table certification columns (content-bearing, engine-portable)
 STAGE_HASH_COLS = ("conv_id", "conversation_text", "pred_lang")
@@ -74,8 +80,14 @@ def affected_convs_from_cdc(
     forever and the incremental == full-recompute contract would silently
     break on the first takedown. Cost still scales with the delta: only
     changed buckets are read, on both versions (partition-pruned)."""
-    from .manifest import load_manifest
-
+    # Resolve CURRENT exactly once: letting read_incremental and the
+    # manifest load below each resolve it independently opens a window
+    # where a concurrent commit (the streaming sink is a supported
+    # concurrent writer) makes new_rows and new_m describe DIFFERENT
+    # versions — buckets changed in between would silently drop out of
+    # the affected set.
+    if to_version is None:
+        to_version = current_version(results_dir)
     new_rows = read_incremental(spark, results_dir, from_version, to_version)
     old_m = load_manifest(results_dir, from_version)
     new_m = load_manifest(results_dir, to_version)
@@ -160,8 +172,16 @@ def curate_incremental(
     recurated = C.stage_convs(delta_turns, min_quality=min_quality, mode=mode)
 
     # read_results carries the catalog's `bucket` partition column — drop
-    # it before the merge (commit_stage re-derives it)
-    old_stage = read_results(spark, stage_dir).select(*STAGE_COLS)
+    # it before the merge (commit_stage re-derives it). A never-committed
+    # stage catalog (version 0) has no recorded schema, so read_results
+    # would fall back to the EXTRACTION schema and the select would fail
+    # on the stage columns — bootstrap from an empty stage-shaped frame
+    # instead (incremental over an empty catalog == full build of the
+    # affected set, which is exactly the merge semantics).
+    if stage_version(stage_dir) == 0:
+        old_stage = recurated.select(*STAGE_COLS).limit(0)
+    else:
+        old_stage = read_results(spark, stage_dir).select(*STAGE_COLS)
     merged = old_stage.join(affected, "conv_id", "left_anti").unionByName(
         recurated.select(*STAGE_COLS)
     )

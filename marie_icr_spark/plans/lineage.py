@@ -185,7 +185,6 @@ def run_extraction_job(
     from ..operators.extraction import extract_turns
 
     run_id = run_id or uuid.uuid4().hex
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     snapshot = source_fingerprint(transcripts)
     bucketed = with_bucket(transcripts, n_buckets)
@@ -216,6 +215,11 @@ def run_extraction_job(
         )
         (
             extracted.write.mode("overwrite")
+            # per-WRITE dynamic overwrite (rewrites only partitions that
+            # receive rows) — as a writer option, not a session conf, so
+            # other overwrite writes in the same shared session keep
+            # Spark's default static semantics
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(output_dir)
         )

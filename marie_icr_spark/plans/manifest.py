@@ -84,13 +84,32 @@ def _fsync_write(path: str, payload: str) -> None:
         os.fsync(f.fileno())
 
 
-def current_version(output_dir: str) -> int:
-    """Version in the CURRENT pointer; 0 = no commit yet."""
+def _pointer_version(output_dir: str) -> int:
+    """Raw value of the CURRENT pointer file; 0 = no commit yet."""
     try:
         with open(os.path.join(_commit_dir(output_dir), _CURRENT)) as f:
             return int(f.read().strip())
     except FileNotFoundError:
         return 0
+
+
+def current_version(output_dir: str) -> int:
+    """Latest committed version: the CURRENT pointer, rolled forward over
+    contiguously-existing newer manifest files.
+
+    Version files are complete by construction BEFORE they become visible
+    (written to a temp name, fsynced, ``link(2)``-ed in — see
+    :func:`_publish_pending`), so existence == committed. Scanning forward
+    makes the pointer a performance hint rather than the source of truth:
+    a writer that read a stale version and renamed CURRENT backwards (the
+    unavoidable race window of an unconditional rename) — or died before
+    renaming at all — cannot make readers miss a newer committed version.
+    The next writer's :func:`_publish_pending` repairs the pointer so this
+    scan stays O(1) in steady state."""
+    v = _pointer_version(output_dir)
+    while os.path.exists(_manifest_path(output_dir, v + 1)):
+        v += 1
+    return v
 
 
 def load_manifest(output_dir: str, version: int | None = None) -> dict:
@@ -127,8 +146,17 @@ def _publish_pending(output_dir: str) -> int:
     so publishing them is always safe; racing with the original writer's
     own rename is idempotent (same value). Writers call this on entry and
     on CAS conflict; readers never write. Returns the version published.
+
+    Starts from the RAW pointer (not the rolled-forward
+    :func:`current_version`) so a lagging pointer file is actually
+    advanced — otherwise the read-side roll-forward scan would grow one
+    ``exists()`` per commit forever. A concurrent faster writer can make
+    one of these renames transiently move CURRENT backwards; that is
+    harmless because readers roll forward over the manifest files
+    themselves (:func:`current_version`), and the loop's next iteration
+    (or the next writer) repairs the pointer.
     """
-    v = current_version(output_dir)
+    v = _pointer_version(output_dir)
     while os.path.exists(_manifest_path(output_dir, v + 1)):
         _swap_current(output_dir, v + 1)
         v += 1
@@ -198,6 +226,18 @@ def _commit_manifest(output_dir: str, base: dict, updates: dict) -> dict:
 
 def _run_dir(output_dir: str, run_id: str) -> str:
     return os.path.join(output_dir, "data", run_id)
+
+
+def _read_written_run(spark: SparkSession, rdir: str, schema) -> DataFrame:
+    """Read back a run dir this writer just wrote, for stats certification.
+
+    A zero-row ``partitionBy`` write leaves only ``_SUCCESS`` in the dir —
+    ``spark.read.parquet`` on that raises UNABLE_TO_INFER_SCHEMA. Passing
+    the written frame's own schema makes the read-back a readable empty
+    frame instead, so an all-empty commit degrades to tombstone entries
+    (the same invariant ``lineage._read_results_safe`` guards on the
+    non-atomic path)."""
+    return spark.read.schema(schema).option("basePath", rdir).parquet(rdir)
 
 
 def _empty_frame(spark: SparkSession, manifest: dict) -> DataFrame:
@@ -285,9 +325,7 @@ def read_incremental(
     if e['run_id'] is not None}``.
     """
     old = load_manifest(output_dir, from_version)
-    new = load_manifest(
-        output_dir, to_version if to_version is not None else None
-    )
+    new = load_manifest(output_dir, to_version)  # None → CURRENT
 
     # XOR-combined per-bucket (hash, rows) of the OLD version: a plain-key
     # entry matching it is a compaction product, not new data
@@ -439,7 +477,7 @@ def compact(
         rows = rows.filter(F.col("bucket").isin(sorted(sel)))
     rdir = _run_dir(output_dir, run_id)
     rows.write.mode("errorifexists").partitionBy("bucket").parquet(rdir)
-    written = spark.read.option("basePath", rdir).parquet(rdir)
+    written = _read_written_run(spark, rdir, rows.schema)
     hash_cols, sum_col = _stats_of(m)
     got = {
         int(r["bucket"]): (
@@ -768,7 +806,7 @@ def run_extraction_job_atomic(
             # kill-test hook: die after the (invisible) data write, before
             # any manifest swap — the hardest crash position
             raise SimulatedFailure(f"injected failure before first commit (run {run_id})")
-        written = spark.read.option("basePath", rdir).parquet(rdir)
+        written = _read_written_run(spark, rdir, extracted.schema)
 
         for i in range(0, len(pending), buckets_per_commit):
             batch = pending[i : i + buckets_per_commit]
@@ -886,7 +924,7 @@ def commit_stream_batch(
     )
     rdir = _run_dir(output_dir, run_id)
     bucketed.write.mode("errorifexists").partitionBy("bucket").parquet(rdir)
-    written = spark.read.option("basePath", rdir).parquet(rdir)
+    written = _read_written_run(spark, rdir, bucketed.schema)
     stats = _bucket_stats(written)
     snapshot = f"epoch:{epoch}"
     updates = {
@@ -979,7 +1017,7 @@ def commit_table(
     )
     rdir = _run_dir(output_dir, run_id)
     bucketed.write.mode("errorifexists").partitionBy("bucket").parquet(rdir)
-    written = spark.read.option("basePath", rdir).parquet(rdir)
+    written = _read_written_run(spark, rdir, bucketed.schema)
     snap = snapshot or f"table:{run_id[:8]}"
     by_bucket = {int(r["bucket"]): r for r in _bucket_stats(written, hc, sum_col)}
     # every bucket gets an entry — run_id=None tombstones buckets empty in
@@ -1005,7 +1043,11 @@ def commit_table(
         # explicit (and incompatible, unless equal) choice, not a blank
         effective = m.get("stats") or (DEFAULT_STATS if m["buckets"] else None)
         if effective is not None and effective != want_stats:
-            raise CommitConflict(
+            # permanent misconfiguration, not a retryable CAS race — the
+            # same ValueError family as the stream/batch mix guards (a
+            # caller retrying CommitConflict would loop forever, orphaning
+            # a fresh run dir per attempt)
+            raise ValueError(
                 f"table at {output_dir} is certified with stats columns "
                 f"{effective}; refusing to mix certifications (vacuum/"
                 "recreate the table to change them)"

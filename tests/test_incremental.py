@@ -146,3 +146,20 @@ def test_cdc_detects_deleted_conversation(spark, turns, tmp_path_factory):
     pd.testing.assert_frame_equal(_corpus_pdf(inc), _corpus_pdf(full))
     stage = M.read_results(spark, stage_dir)
     assert stage.filter(F.col("conv_id") == vid).count() == 0
+
+
+def test_incremental_bootstrap_from_absent_stage(
+    spark, turns, tmp_path_factory
+):
+    """curate_incremental over a never-committed stage catalog must
+    bootstrap cleanly (empty old stage in the STAGE schema, not the
+    extraction-schema fallback that would fail the column select) and
+    equal a full build over the affected set."""
+    base_dir = str(tmp_path_factory.mktemp("inc_boot"))
+    affected = turns.select("conv_id").distinct()
+    inc = INC.curate_incremental(
+        spark, turns, affected, f"{base_dir}/stage",
+        rates=dict(C.SAMPLE_RATES), n_buckets=4,
+    )
+    full = C.build_corpus(turns, rates=dict(C.SAMPLE_RATES))
+    pd.testing.assert_frame_equal(_corpus_pdf(inc), _corpus_pdf(full))

@@ -581,8 +581,9 @@ def test_commit_table_generic_schema_and_compact(spark, tmp_path_factory):
     assert sum(e["span_count"] for e in m["buckets"].values()) == sum(
         i % 5 for i in range(40)
     )
-    # mixed-certification commits are refused
-    with pytest.raises(M.CommitConflict):
+    # mixed-certification commits are refused (permanent misconfig →
+    # ValueError, not the retryable CommitConflict)
+    with pytest.raises(ValueError):
         M.commit_table(df, out, key_col="key", n_buckets=4,
                        hash_cols=("key",))
     # full-snapshot replace: second commit supersedes, old version readable
@@ -622,12 +623,16 @@ def test_dead_writer_orphan_manifest_rolls_forward(spark, sdf, tmp_path_factory)
     orphan = {"version": v1 + 1, "buckets": m["buckets"]}
     with open(M._manifest_path(out, v1 + 1), "w") as f:
         f.write(_json.dumps(orphan, sort_keys=True))
-    assert M.current_version(out) == v1  # wedged state
+    # version files are committed-by-existence: readers roll forward over
+    # the lagging pointer immediately (the pointer is a hint)
+    assert M._pointer_version(out) == v1
+    assert M.current_version(out) == v1 + 1
 
-    # any writer entry unwedges: resume run publishes v2 then no-ops
+    # any writer entry repairs the pointer file and no-ops the data
     summary = M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4,
                                           buckets_per_commit=4)
     assert summary["buckets_processed"] == []
+    assert M._pointer_version(out) == v1 + 1
     assert M.current_version(out) == v1 + 1
     assert M.read_results(spark, out).count() == n1
 
@@ -715,7 +720,9 @@ def test_commit_table_refuses_default_certified_catalog(
     M.run_extraction_job_atomic(spark, sdf, out, n_buckets=4,
                                 buckets_per_commit=4)
     g = spark.createDataFrame([("x", 1)], "conv_id string, v int")
-    with pytest.raises(M.CommitConflict, match="certified"):
+    # permanent misconfiguration → ValueError (CommitConflict is reserved
+    # for retryable CAS races; a retry loop would orphan run dirs forever)
+    with pytest.raises(ValueError, match="certified"):
         M.commit_table(g, out, key_col="conv_id", hash_cols=("conv_id",))
 
 
@@ -1106,3 +1113,101 @@ def test_vacuum_grace_covers_roll_forwarded_supersede(
     # age-blind vacuum then reclaims v1
     removed2 = M.vacuum(out)
     assert any("manifest-v1" in p for p in removed2)
+
+
+def test_commit_table_empty_frame_tombstones_all_buckets(
+    spark, tmp_path_factory
+):
+    """A zero-row commit (legitimate delete-everything snapshot) must
+    commit tombstones, not crash: the partitionBy write leaves only
+    _SUCCESS and the read-back needs the written frame's schema
+    (_read_written_run)."""
+    out = str(tmp_path_factory.mktemp("empty_commit"))
+    df = spark.createDataFrame(
+        [("a", "hello", 1)], "key string, body string, v int"
+    )
+    M.commit_table(df, out, key_col="key", n_buckets=2)
+    assert M.read_results(spark, out).count() == 1
+    # full-snapshot replace to EMPTY
+    M.commit_table(df.limit(0), out, key_col="key", n_buckets=2)
+    m = M.load_manifest(out)
+    assert all(e["run_id"] is None for e in m["buckets"].values())
+    got = M.read_results(spark, out)
+    assert got.count() == 0
+    got.select("body")  # schema preserved through the empty snapshot
+
+
+def test_atomic_resume_with_all_pending_buckets_empty(
+    spark, sdf, tmp_path_factory
+):
+    """Resume where every pending bucket is empty under the snapshot must
+    commit zero-count tombstones (the non-atomic twin's
+    _read_results_safe invariant), not crash on the read-back."""
+    out = str(tmp_path_factory.mktemp("empty_pending"))
+    with pytest.raises(SimulatedFailure):
+        M.run_extraction_job_atomic(
+            spark, sdf, out, n_buckets=64, buckets_per_commit=16,
+            fail_after_commits=1,
+        )
+    # find a conv subset whose buckets are all already committed, so the
+    # rerun's pending buckets receive zero rows
+    m = M.load_manifest(out)
+    done = {int(k) for k, e in m["buckets"].items()}
+    assert done and len(done) < 64
+    from pyspark.sql import functions as F
+
+    subset = M.with_bucket(sdf, 64).filter(
+        F.col("bucket").isin(sorted(done))
+    ).drop("bucket")
+    if subset.isEmpty():
+        pytest.skip("no committed-bucket rows in this synth draw")
+    res = M.run_extraction_job_atomic(
+        spark, subset, out, n_buckets=64, buckets_per_commit=64
+    )
+    assert res["buckets_processed"] or res["buckets_skipped"]
+    m2 = M.load_manifest(out)
+    assert set(range(64)) == {int(k) for k in m2["buckets"]}
+    _verify_manifest_vs_data(spark, out)
+
+
+def test_compact_tombstone_only_selection(spark, tmp_path_factory):
+    """compact() over buckets that hold only tombstones must no-op
+    cleanly (empty rewrite == empty expectation), not crash reading the
+    empty run dir."""
+    out = str(tmp_path_factory.mktemp("compact_tomb"))
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("b", "y", 2)], "key string, body string, v int"
+    )
+    M.commit_table(df, out, key_col="key", n_buckets=4)
+    m = M.load_manifest(out)
+    tomb = [int(k) for k, e in m["buckets"].items() if e["run_id"] is None]
+    if not tomb:
+        pytest.skip("no tombstoned bucket in this hash draw")
+    m2 = M.compact(spark, out, buckets=tomb)
+    assert int(m2["version"]) >= int(m["version"])
+    assert M.read_results(spark, out).count() == 2
+
+
+def test_current_version_rolls_forward_over_regressed_pointer(
+    spark, tmp_path_factory
+):
+    """CURRENT is a hint: a transiently-regressed pointer (dead writer's
+    stale rename) must not hide newer committed manifest files from
+    readers."""
+    import os as _os
+
+    out = str(tmp_path_factory.mktemp("ptr_regress"))
+    df = spark.createDataFrame([("a", 1)], "key string, v int")
+    M.commit_table(df, out, key_col="key", n_buckets=2)
+    df2 = spark.createDataFrame([("a", 1), ("b", 2)], "key string, v int")
+    M.commit_table(df2, out, key_col="key", n_buckets=2)
+    assert M.current_version(out) == 2
+    # simulate the dead-writer race: pointer renamed backwards
+    with open(_os.path.join(M._commit_dir(out), M._CURRENT), "w") as fh:
+        fh.write("1")
+    assert M._pointer_version(out) == 1
+    assert M.current_version(out) == 2  # readers roll forward
+    assert M.read_results(spark, out).count() == 2
+    # the next writer repairs the pointer file itself
+    M._publish_pending(out)
+    assert M._pointer_version(out) == 2
