@@ -10,6 +10,7 @@ engine-internal keys (salting, lineage buckets) only.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -66,6 +67,33 @@ def ws_tokens(col: Column) -> Column:
 
 
 WS_TOKENS_SQL = "string_split(regexp_replace(trim({e}), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')"
+
+# Java's \s class ([ \t\n\x0b\f\r]) — NOT Python's unicode-aware \s
+_JAVA_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def rate_millionths(rate: float) -> int:
+    """THE sampling-threshold quantization: ``round(rate · 10^6)``.
+
+    Both the Spark sampling filter and the DuckDB oracle literals build
+    their thresholds through this one function, so they cannot disagree;
+    ``round`` (not ``int``) so a decimal rate like 0.29 maps to exactly
+    290000 — truncation of the binary double (289999.99…) would silently
+    drop the boundary hash value the documented keep-rule
+    ``h % 10^6 < rate·10^6`` includes."""
+    return round(rate * 1_000_000)
+
+
+def ws_tokens_py(text: str | None) -> list[str]:
+    """Pure-Python twin of :func:`ws_tokens` / ``WS_TOKENS_SQL`` — the ONE
+    tokenizer-contract definition for Python goldens and Arrow UDFs: strip
+    SPACES only (Spark/DuckDB ``trim`` strips ``' '``, not tabs), collapse
+    Java ``\\s`` runs to one space, split on ``' '``. Empty text yields one
+    empty token, matching ``F.split`` semantics. Do not re-implement
+    inline: of four historical inline copies, one silently drifted to
+    ``str.strip()`` (all unicode whitespace) — a latent oracle divergence
+    on any text with a leading tab."""
+    return _JAVA_WS_RE.sub(" ", (text or "").strip(" ")).split(" ")
 
 
 def rolling_fingerprint(tokens: Column) -> Column:

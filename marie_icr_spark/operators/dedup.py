@@ -24,6 +24,7 @@ from ..functions.columns import (
     round_half_up,
     shingles,
     ws_tokens,
+    ws_tokens_py,
 )
 
 # MinHash parameters (pinned; the oracle embeds the same constants).
@@ -34,7 +35,11 @@ _rng = random.Random(20250816)
 MINHASH_A = [_rng.randrange(1, HASH_P) for _ in range(MINHASH_K)]
 MINHASH_B = [_rng.randrange(0, HASH_P) for _ in range(MINHASH_K)]
 
-SIMHASH_BITS = 32
+# 31, not 32: portable_hash31 values are < 2^31 (mod the Mersenne prime),
+# so a 32nd bit would be structurally zero — a dead filter expression per
+# row and a biased 32-bit Hamming space for consumers. Values are
+# identical to the old 32-bit form (the dead bit never contributed).
+SIMHASH_BITS = 31
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -49,27 +54,18 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-_JAVA_WS = None  # compiled lazily on the executor
-
-
 def _py_shingle_list(text: str | None, n: int) -> list[str]:
     """Python twin of ``shingles(ws_tokens(col), n)`` — must match the
     Column form byte-for-byte:
 
-    * tokenize = trim SPACES only (Spark ``trim`` strips ' ' — not all
-      whitespace) then collapse Java ``\\s`` runs ([ \\t\\n\\x0b\\f\\r];
-      NOT Python's unicode-aware ``\\s``) to one space, split on ' ';
+    * tokenize = ``functions.columns.ws_tokens_py`` (the ONE pinned
+      tokenizer-contract definition: trim SPACES only, collapse Java
+      ``\\s`` runs, split on ' ');
     * shingle = ' '-joined n-grams, distinct with first-occurrence order
       (``array_distinct`` semantics; order is irrelevant downstream but
       kept equal anyway).
     """
-    global _JAVA_WS
-    if _JAVA_WS is None:
-        import re
-
-        _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
-    t = _JAVA_WS.sub(" ", (text or "").strip(" "))
-    toks = t.split(" ")
+    toks = ws_tokens_py(text)
     k = len(toks) - (n - 1)
     if k <= 0:
         return []

@@ -39,26 +39,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.columns import portable_hash31_py as _hash31
+from ..functions.columns import ws_tokens_py
 
 DIMS = 64
 NGRAM = 3
 
 
-_JAVA_WS = None
-
-
 def _py_tokens(text: str | None) -> list[str]:
-    """Whitespace tokens, pinned to ``ws_tokens``/``WS_TOKENS_SQL``
-    semantics (same contract as dedup's ``_py_shingle_list``: strip SPACES
-    only — Spark/DuckDB ``trim`` strips spaces, not tabs — then collapse
-    the Java ``\\s`` class)."""
-    global _JAVA_WS
-    if _JAVA_WS is None:
-        import re
-
-        _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
-    t = _JAVA_WS.sub(" ", (text or "").strip(" "))
-    return t.split(" ")
+    """Whitespace tokens — the pinned ``ws_tokens``/``WS_TOKENS_SQL``
+    contract, ONE definition in functions.columns."""
+    return ws_tokens_py(text)
 
 
 def py_embed(text: str | None, dims: int = DIMS, ngram: int = NGRAM) -> list[float]:

@@ -20,7 +20,6 @@ by that entry's stage; matches from all entries union.
 from __future__ import annotations
 
 import math
-import re
 from collections import Counter
 from collections.abc import Iterator
 from functools import lru_cache
@@ -30,15 +29,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.columns import portable_hash31_py
+from ..functions.columns import portable_hash31_py, ws_tokens_py
 
 VOCAB_BUCKETS = 64
 WEIGHT_MOD = 1000
-_WS = re.compile(r"\s+", re.ASCII)
 
-
-def _ws_tokens_py(text: str) -> list[str]:
-    return _WS.sub(" ", text.strip()).split(" ")
+# the pinned tokenizer contract lives in functions.columns.ws_tokens_py
+# (this module once carried a str.strip() copy that silently diverged
+# from the WS_TOKENS_SQL oracles on leading non-space whitespace)
+_ws_tokens_py = ws_tokens_py
 
 
 def stub_weight(label: str, bucket: int) -> int:

@@ -167,7 +167,10 @@ def kv_pairs(spans: DataFrame) -> DataFrame:
     Input needs (doc_id, line_no, label in {'key','value'}, span_text, x).
     Output: (doc_id, line_no, key_text, value_text, key_x, value_x).
     """
-    wk = Window.partitionBy("doc_id", "line_no").orderBy("x")
+    # total order (x, then span_text): two spans can share an x after the
+    # horizontal merges, and an x-only sort would pick nondeterministically
+    # across runs/partitionings — the same flake class voting.py pins out
+    wk = Window.partitionBy("doc_id", "line_no").orderBy("x", "span_text")
     keys = (
         spans.filter(F.col("label") == "key")
         .withColumn("_rn", F.row_number().over(wk))
@@ -186,7 +189,9 @@ def kv_pairs(spans: DataFrame) -> DataFrame:
     joined = keys.join(vals, ["doc_id", "line_no"]).filter(
         F.col("value_x") >= F.col("key_x")
     )
-    wv = Window.partitionBy("doc_id", "line_no").orderBy("value_x")
+    wv = Window.partitionBy("doc_id", "line_no").orderBy(
+        "value_x", "value_text"
+    )
     return (
         joined.withColumn("_rv", F.row_number().over(wv))
         .filter(F.col("_rv") == 1)

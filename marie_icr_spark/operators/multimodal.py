@@ -136,7 +136,12 @@ def _decode_ppm(content: bytes) -> dict:
     hdr = parse_ppm_header(content)
     if hdr is None:
         return _bad("malformed ppm")
-    w, h, _maxval, off = hdr
+    w, h, maxval, off = hdr
+    if maxval > 255:
+        # legal PPM, but 2 bytes/sample — reading it 1-byte would emit
+        # garbage pixels as ok=True; fail open like other unsupported
+        # container variants
+        return _bad("unsupported ppm maxval > 255")
     need = w * h * 3
     if len(content) - off < need:
         return _bad("truncated ppm")
@@ -742,7 +747,9 @@ def _rgb_image(content: bytes):
 
     hdr = parse_ppm_header(content)
     if hdr is not None:
-        w, h, _mx, off = hdr
+        w, h, mx, off = hdr
+        if mx > 255:  # 2-byte samples — fail open, not garbage pixels
+            return None
         need = w * h * 3
         buf = content[off : off + need]
         if len(buf) < need or need == 0:

@@ -43,9 +43,18 @@ def asof_join(
     ``right_ts <= left_ts`` for the same key (ties: the right row wins —
     "at or before"). Left rows with no prior right row keep NULLs.
 
+    Row-level semantics, pinned: the value columns come from ONE right
+    row — they are carried as a single struct, so (a) a legitimately-NULL
+    field of the latest right row stays NULL (it is never back-filled from
+    an older row), and (b) columns can never mix across right rows.
+    Multiple right rows at the SAME timestamp resolve deterministically to
+    the greatest value tuple (struct comparison — an arbitrary but pinned
+    total order; Spark and DuckDB compare structs field-wise the same way).
+
     Implementation: tag and union both sides, sort within key by
-    (event time, side) with right rows first at equal times, and carry the
-    right values forward with ``last(ignorenulls=True)`` — a single shuffle.
+    (event time, side, value struct) with right rows first at equal times,
+    and carry the right struct forward with ``last(ignorenulls=True)`` — a
+    single shuffle.
 
     Scale note: the per-key window sort is inherent to as-of semantics, so
     ONE hot key (e.g. a single conversation with 10^8 events) lands in one
@@ -56,35 +65,44 @@ def asof_join(
     ``span / bucket`` tasks.
     """
     lcols = left.columns
+    vtype = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+    ) + ">"
     l = left.select(
         *lcols,
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(vtype).alias("_vs"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *[F.col(c) for c in on],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-    ).select(*lcols, "_t", "_side", *[f"_v_{c}" for c in value_cols])
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_vs"),
+    ).select(*lcols, "_t", "_side", "_vs")
 
     unioned = l.unionByName(r)
+    # _vs in the sort key = the pinned equal-timestamp tiebreak among right
+    # rows (left rows carry a NULL struct, which ignorenulls skips, so
+    # their relative order is immaterial)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_vs").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *lcols,
         "_side",
-        *[
-            F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("_vs", ignorenulls=True).over(w).alias("_vc"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"_vc.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        )
+    )
 
 
 def sessionize(

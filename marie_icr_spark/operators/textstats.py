@@ -17,6 +17,7 @@ from ..functions.columns import (
     rolling_fingerprint,
     round_half_up,
     ws_tokens,
+    ws_tokens_py,
 )
 
 # Pinned stopword sets (deterministic heuristic, not a model).
@@ -221,23 +222,16 @@ def tfidf_top_terms(
     )
 
 
-_REP_WS = None  # compiled lazily on the executor
 
 
 def _py_repetition_counts(text: str | None) -> list[int]:
     """(total, distinct) n-gram counts for n = 1, 2, 3 as a flat 6-list.
 
-    Tokenization is the pinned twin of ``ws_tokens`` (see
-    ``dedup._py_shingle_list``): trim SPACES only, collapse Java ``\\s``
-    runs ([ \\t\\n\\x0b\\f\\r]) to one space, split on ' ' — so empty text
-    yields one empty 1-gram token, matching ``F.split`` semantics.
+    Tokenization is ``functions.columns.ws_tokens_py`` (the ONE pinned
+    ``ws_tokens`` twin) — empty text yields one empty 1-gram token,
+    matching ``F.split`` semantics.
     """
-    global _REP_WS
-    if _REP_WS is None:
-        import re
-
-        _REP_WS = re.compile("[ \t\n\x0b\f\r]+")
-    toks = _REP_WS.sub(" ", (text or "").strip(" ")).split(" ")
+    toks = ws_tokens_py(text)
     out: list[int] = []
     for n in (1, 2, 3):
         k = len(toks) - (n - 1)
@@ -305,13 +299,13 @@ def stratified_hash_sample(
     ``portable_hash31(salt || key) % 10^6 < rate·10^6``. Hash-based (not
     rand()) so the sample is reproducible across runs, engines, and
     partitionings, and a row's fate never depends on cluster layout."""
-    from ..functions.columns import portable_hash31
+    from ..functions.columns import portable_hash31, rate_millionths
 
     h = portable_hash31(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))) % 1_000_000
-    expr = F.lit(int(default_rate * 1_000_000))
+    expr = F.lit(rate_millionths(default_rate))
     for stratum, rate in sorted(rates.items()):
         expr = F.when(
-            F.col(strata_col) == stratum, F.lit(int(rate * 1_000_000))
+            F.col(strata_col) == stratum, F.lit(rate_millionths(rate))
         ).otherwise(expr)
     return df.filter(h < expr)
 
@@ -505,8 +499,12 @@ def pack_counted(
             "_before", F.col("_off") + F.sum("_n").over(win) - F.col("_n")
         )
     )
-    p0 = F.floor(F.col("_before") / ctx)
-    p1 = F.floor((F.col("_before") + F.col("_n") - 1) / ctx)
+    # integer `div` here too (same rationale as the bucket key above):
+    # _before is a corpus-wide cumulative token count — at 10^12-turn
+    # scale it exceeds 2^53 and double division would misassign
+    # boundary docs to the wrong pack
+    p0 = F.expr(f"_before div {int(ctx)}")
+    p1 = F.expr(f"(_before + _n - 1) div {int(ctx)}")
     packed = placed.select(
         id_col, "_before", "_n",
         F.explode(F.sequence(p0, p1)).alias("pack_id"),

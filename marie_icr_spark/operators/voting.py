@@ -53,23 +53,31 @@ def word_majority_vote(
     wmax = Window.partitionBy(*key_cols).orderBy(
         F.col(confidence_col).desc(), F.col(candidate_col).asc()
     )
+    # the fallback row must report the RETURNED candidate's own vote count
+    # — pairing the max-confidence text with the majority winner's count
+    # would let a consumer thresholding on `votes` miscount its support
+    wcnt = Window.partitionBy(*key_cols, candidate_col)
     maxconf = (
-        df.withColumn("_rm", F.row_number().over(wmax))
+        df.withColumn("_cand_votes", F.count(F.lit(1)).over(wcnt))
+        .withColumn("_rm", F.row_number().over(wmax))
         .filter(F.col("_rm") == 1)
         .select(*key_cols, F.col(candidate_col).alias("_best_single"),
-                F.col(confidence_col).alias("_best_conf"))
+                F.col(confidence_col).alias("_best_conf"),
+                F.col("_cand_votes").alias("_best_votes"))
     )
+    majority = F.col("votes") >= min_vote_count
     return (
         ranked.join(maxconf, key_cols)
         .select(
             *key_cols,
-            F.when(F.col("votes") >= min_vote_count, F.col(candidate_col))
+            F.when(majority, F.col(candidate_col))
             .otherwise(F.col("_best_single"))
             .alias("voted"),
-            F.col("votes").alias("votes"),
+            F.when(majority, F.col("votes"))
+            .otherwise(F.col("_best_votes"))
+            .alias("votes"),
             round_half_up(
-                F.when(F.col("votes") >= min_vote_count,
-                       F.col("conf_sum") / F.col("votes"))
+                F.when(majority, F.col("conf_sum") / F.col("votes"))
                 .otherwise(F.col("_best_conf")),
                 4,
             ).alias("vote_confidence"),

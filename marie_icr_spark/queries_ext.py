@@ -15,6 +15,7 @@ from .functions.columns import (
     HASH_P,
     WS_TOKENS_SQL as _TOKENS_SQL,  # the ONE token-split contract definition
     portable_hash31_sql,
+    rate_millionths,
     rolling_fingerprint_sql,
     shingles_sql,
     ws_tokens,
@@ -84,9 +85,12 @@ m AS (SELECT user_id, event_type b_single, conf b_conf, row_number() OVER
         (PARTITION BY user_id ORDER BY conf DESC, event_type ASC) rm FROM ev)
 SELECT r.user_id,
        CASE WHEN r.votes >= 2 THEN r.event_type ELSE m.b_single END AS voted,
-       r.votes AS votes,
+       -- fallback rows report the RETURNED candidate's own vote count
+       CASE WHEN r.votes >= 2 THEN r.votes ELSE mc.votes END AS votes,
        (floor((CASE WHEN r.votes >= 2 THEN r.conf_sum / r.votes ELSE m.b_conf END) * 10000.0 + 0.5) / 10000.0) AS vote_confidence
-FROM r JOIN m ON r.user_id = m.user_id AND m.rm = 1
+FROM r
+JOIN m ON r.user_id = m.user_id AND m.rm = 1
+JOIN c mc ON mc.user_id = m.user_id AND mc.event_type = m.b_single
 WHERE r.rn = 1
 """
 
@@ -339,10 +343,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_oracle_sql() -> str:
     h31 = portable_hash31_sql("t")
+    from .operators.dedup import SIMHASH_BITS  # 31 — hash values are < 2^31
+
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hv, h -> (h // {1 << b}) % 2 = 1))"
         f" > len(hv) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
-        for b in range(32)
+        for b in range(SIMHASH_BITS)
     )
     return f"""
 WITH t AS (SELECT doc_id, {_TOKENS_SQL.format(e='text')} w FROM documents),
@@ -857,16 +863,27 @@ def q_kv_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv_pairs(aggregate_entity_spans(_labeled_tokens(spark, sf_dir)))
 
 
+# first key, then first value AT-OR-RIGHT of it (the reference's ordered
+# scan, ner_extraction_executor.py:620-664): the value rank is computed
+# AFTER the >= filter — ranking all values first would wrongly drop a
+# line whose leftmost value sits left of the key. Total order (x, text)
+# on both picks mirrors the engine's pinned tie-break.
 ORACLE_KV_PAIRS = f"""
 WITH spans AS ({ORACLE_ENTITY_SPANS.strip()})
-SELECT k.doc_id, k.line_no, k.span_text key_text, v.span_text value_text,
-       k.x key_x, v.x value_x
-FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, line_no ORDER BY x) rn
-      FROM spans WHERE "label" = 'key') k
-JOIN (SELECT *, row_number() OVER (PARTITION BY doc_id, line_no ORDER BY x) rv
-      FROM spans WHERE "label" = 'value') v
-  ON k.doc_id = v.doc_id AND k.line_no = v.line_no AND v.x >= k.x
-WHERE k.rn = 1 AND v.rv = 1
+SELECT doc_id, line_no, key_text, value_text, key_x, value_x
+FROM (
+  SELECT k.doc_id, k.line_no, k.span_text key_text, v.span_text value_text,
+         k.x key_x, v.x value_x,
+         row_number() OVER (PARTITION BY k.doc_id, k.line_no
+                            ORDER BY v.x, v.span_text) rv
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, line_no
+                                     ORDER BY x, span_text) rn
+        FROM spans WHERE "label" = 'key') k
+  JOIN (SELECT * FROM spans WHERE "label" = 'value') v
+    ON k.doc_id = v.doc_id AND k.line_no = v.line_no AND v.x >= k.x
+  WHERE k.rn = 1
+)
+WHERE rv = 1
 """
 
 EXT_QUERIES["entity_spans"] = q_entity_spans
@@ -964,12 +981,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "cp_event_id")
 
 
+# the MAX(event_id) pre-aggregation pins the equal-timestamp tiebreak to
+# the engine's greatest-value-tuple rule (DuckDB's native ASOF JOIN leaves
+# duplicate right timestamps unspecified, same as an unpinned window)
 ORACLE_ASOF_JOIN = """
 SELECT l.event_id, l.user_id, l.event_type, r.event_id AS cp_event_id
 FROM events l
 ASOF LEFT JOIN (
-  SELECT user_id, ts, event_id FROM events
+  SELECT user_id, ts, MAX(event_id) AS event_id FROM events
   WHERE event_type IN ('signup', 'login')
+  GROUP BY user_id, ts
 ) r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
@@ -2588,7 +2609,7 @@ def _stratified_sample_oracle_sql() -> str:
         "'sample:v1:' || conv_id || ':' || CAST(turn_idx AS VARCHAR)"
     )
     cases = " ".join(
-        f"WHEN '{k}' THEN {int(v * 1_000_000)}"
+        f"WHEN '{k}' THEN {rate_millionths(v)}"
         for k, v in sorted(_SAMPLE_RATES.items())
     )
     return (
@@ -3016,10 +3037,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_pipeline_oracle_sql() -> str:
     sample_gate = portable_hash31_sql(f"'{_CP.SAMPLE_SALT}:' || conv_id")
     rate_cases = " ".join(
-        f"WHEN '{k}' THEN {int(v * 1_000_000)}"
+        f"WHEN '{k}' THEN {rate_millionths(v)}"
         for k, v in sorted(_CP.SAMPLE_RATES.items())
     )
-    default_millionths = int(_CP.SAMPLE_DEFAULT_RATE * 1_000_000)
+    default_millionths = rate_millionths(_CP.SAMPLE_DEFAULT_RATE)
     return f"""{_ORACLE_DERIVE_REF},
 conv AS (
   SELECT conv_id,

@@ -391,3 +391,25 @@ def test_jpeg_fill_bytes_between_segments():
     assert px is not None and px.shape[:2] == (8, 8)
     # and the unpadded decode agrees
     assert (decode_jpeg_pixels(blob) == px).all()
+
+
+def test_ppm_maxval_over_255_fails_open():
+    """A 16-bit (maxval 65535) PPM is legal but unsupported: it must emit
+    ok=False / None, never garbage 1-byte-read pixels as ok=True."""
+    from marie_icr_spark.operators.multimodal import _decode_ppm, _rgb_image
+
+    body = b"P6\n2 1\n65535\n" + bytes(12)  # 2 px * 3 ch * 2 bytes
+    d = _decode_ppm(body)
+    assert d["ok"] is False or d.get("ok") == 0 or not d["ok"]
+    assert _rgb_image(body) is None
+
+
+def test_rate_millionths_boundary():
+    """round(rate*1e6), not int(): 0.29 → 290000 exactly, so the boundary
+    hash the documented keep-rule includes is kept."""
+    from marie_icr_spark.functions.columns import rate_millionths
+
+    assert rate_millionths(0.29) == 290_000
+    assert rate_millionths(0.1) == 100_000
+    assert rate_millionths(1.0) == 1_000_000
+    assert rate_millionths(0.0) == 0

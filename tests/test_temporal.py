@@ -92,3 +92,49 @@ def test_bucket_size_invariance(spark, bucket_minutes):
         spark, rows, gap_minutes=30.0, bucket_minutes=bucket_minutes
     )
     assert plain == bucketed
+
+
+def test_asof_join_single_right_row_semantics(spark):
+    """The as-of values come from ONE right row: a legitimately-NULL field
+    of the latest right row stays NULL (never back-filled from an older
+    row), and fields never mix across right rows."""
+    from marie_icr_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 3))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 1), 5, 7),
+            (1, datetime(2024, 1, 1, 0, 2), None, 9),
+        ],
+        "user_id long, rts timestamp, v1 int, v2 int",
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="rts",
+        value_cols=["v1", "v2"],
+    ).collect()
+    assert len(out) == 1
+    # most recent right row is (NULL, 9): v1 must be NULL, not the stale 5
+    assert out[0]["v1_asof"] is None
+    assert out[0]["v2_asof"] == 9
+
+
+def test_asof_join_equal_timestamp_tiebreak_pinned(spark):
+    """Two right rows at the same timestamp resolve to the greatest value
+    tuple — deterministically, across shuffles/partitionings."""
+    from marie_icr_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 5))], "user_id long, ts timestamp"
+    )
+    t = datetime(2024, 1, 1, 0, 1)
+    right = spark.createDataFrame(
+        [(1, t, 10), (1, t, 20)], "user_id long, rts timestamp, v int"
+    ).repartition(4)
+    for _ in range(3):
+        out = asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="rts",
+            value_cols=["v"],
+        ).collect()
+        assert out[0]["v_asof"] == 20

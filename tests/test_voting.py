@@ -108,6 +108,9 @@ def test_word_majority_vote_and_fallback(spark):
     assert rows[1]["vote_confidence"] == pytest.approx(0.7)
     assert rows[2]["voted"] == "dag"  # min_vote_count unmet → best single
     assert rows[2]["vote_confidence"] == pytest.approx(0.9)
+    # the fallback row reports the RETURNED candidate's own vote count —
+    # not the majority winner's (dag has exactly 1 vote)
+    assert rows[2]["votes"] == 1
 
 
 def test_vote_extractions_across_strategies(spark):
