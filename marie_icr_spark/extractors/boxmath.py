@@ -27,8 +27,12 @@ import numpy as np
 # Descending IoU thresholds used by the reference's line_merge ladder
 # (marie/boxes/line_processor.py:121).
 IOU_LADDER = (0.8, 0.7, 0.6, 0.5, 0.4, 0.37, 0.35)
-# Stop once the cluster count has been stable for this many consecutive
-# ladder steps (line_processor.py:122-134: `no_change_count > 2`).
+# Stop once MORE THAN this many no-change ladder steps have accumulated —
+# CUMULATIVE, never reset when a later step does merge, exactly like the
+# reference's `no_change_count` (line_processor.py:122-135 increments on
+# each size-preserving pass and has no reset branch). A plateau at 0.7/0.6
+# followed by merges at 0.5 still breaks after the next no-change step;
+# that quirk is part of the pinned contract.
 STABLE_ROUNDS = 2
 
 
@@ -428,13 +432,14 @@ def merge_boxes_horizontal(
     if len(b) == 0:
         return b
     cur = xyxy_to_xywh(b)
-    last = len(cur)
     for _ in range(max_rounds):
         merged = _merge_pass_horizontal(cur, band)
-        if len(merged) == len(cur) or len(merged) == last:
+        # counts are monotonically non-increasing (each sweep emits one
+        # envelope per group), so no-reduction == fixpoint; an A→B→A
+        # oscillation guard is unnecessary
+        if len(merged) == len(cur):
             cur = merged
             break
-        last = len(cur)
         cur = merged
     return xywh_to_xyxy(cur)
 

@@ -34,6 +34,10 @@ def render_grid_text(
     """
     if not lines:
         return ""
+    # floor-div IS the pinned column-count contract (the ceil is a no-op on
+    # an already-floored value — kept because the SQL twin in
+    # queries_ext.py spells the identical expression; change both or
+    # neither, a one-sided "fix" to true-ceiling breaks cross-engine parity)
     cols = ceil(page_width // CHAR_WIDTH)
     bins = np.linspace(0, page_width, max(cols, 1)).astype(np.int32)
     by_id = {w["id"]: w for w in words}

@@ -66,6 +66,34 @@ def _is_boilerplate_attr(attrs: dict[str, str]) -> bool:
     return _BOILER_KEYWORD_RE.search(blob) is not None
 
 
+def _tag_end(src: str, lt: int, n: int) -> int:
+    """Index of the ``>`` that closes the tag starting at ``lt``, honoring
+    quoted attribute values (a ``>`` inside ``"…"``/``'…'`` is attribute
+    data per the HTML spec, not the tag end — a bare ``find('>')`` would
+    truncate the tag and leak the rest as content words). Fast path: when
+    no quote char precedes the first ``>`` the bare find IS correct, and
+    that covers almost every real tag at C speed."""
+    e = src.find(">", lt)
+    if e == -1:
+        return -1
+    span = src[lt:e]
+    if '"' not in span and "'" not in span:
+        return e
+    q = ""
+    i = lt
+    while i < n:
+        c = src[i]
+        if q:
+            if c == q:
+                q = ""
+        elif c == '"' or c == "'":
+            q = c
+        elif c == ">":
+            return i
+        i += 1
+    return -1
+
+
 def extract_html(src: str) -> dict[str, object]:
     """Strip boilerplate and return main-content lines.
 
@@ -135,7 +163,7 @@ def extract_html(src: str) -> dict[str, object]:
                     cur_link += 1
             i = lt + 1
             continue
-        end = find(">", lt)
+        end = _tag_end(src, lt, n)
         if end == -1:
             break  # truncated tag at EOF — drop it (fail-open)
         tag = m.group(2).lower()
@@ -165,8 +193,16 @@ def extract_html(src: str) -> dict[str, object]:
         inner = src[m.end() : end]
         selfclose = inner.rstrip().endswith("/")
         # only class/id feed the boilerplate heuristic — skip attr parsing
-        # unless they can be present (hot-path: most tags have neither)
-        if inner and ("class" in inner or "id" in inner):
+        # unless they can be present (hot-path: most tags have neither).
+        # The gate must be case-insensitive (CLASS= is legal HTML and
+        # _ATTR_RE lowercases names anyway); the lowercase substring test
+        # runs first so the common case never pays the .lower() allocation
+        if inner and (
+            "class" in inner
+            or "id" in inner
+            or "class" in (il := inner.lower())
+            or "id" in il
+        ):
             attrs: dict[str, str] = {}
             for am in _ATTR_RE.finditer(inner.rstrip("/").strip()):
                 name = am.group(1).lower()

@@ -96,7 +96,9 @@ def parse_layout_payload(text: str) -> tuple[list[str], list[list[int]]] | None:
 # Page-segmentation modes (PSM contract, marie/boxes/box_processor.py:129-162),
 # transposed to text-layout payloads:
 #   sparse    full pipeline: cluster lines, assign, reading order (default)
-#   word      whole payload is one word → one line, texts joined in (y, x)
+#   word      like 'line': all words onto line 1, x-sorted (the caller may
+#             treat the result as one token; assembly is identical — this
+#             x-only order is the pinned, oracle-certified contract)
 #   line      whole payload is one text line → words x-sorted onto line 1
 #   raw_line  no box analysis at all: input order, single line
 #   multiline no clustering: each distinct y value is its own line

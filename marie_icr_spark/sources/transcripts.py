@@ -131,6 +131,13 @@ def _layout_payload_udf(doc_id: pd.Series, lines: pd.Series) -> pd.Series:
     """
     out = []
     for did, lns in zip(doc_id, lines):
+        if lns is None:
+            # Spark evaluates Python UDFs unconditionally, even inside an
+            # F.when branch (ExtractPythonUDFs pulls them out) — the caller
+            # nulls the input for non-layout rows so ~75% of rows take this
+            # O(1) exit instead of paying the md5+json serialization
+            out.append(None)
+            continue
         entries = []
         gi = 0
         for ln, line in enumerate(lns):
@@ -191,9 +198,14 @@ def transcripts_from_docs(
     )
 
     kb = F.col("kb")
+    # null the UDF's input outside the layout band: the pandas UDF itself
+    # is evaluated for EVERY row regardless of the F.when branch (Catalyst
+    # extracts Python UDFs before the projection), so the null gate is
+    # what actually skips the md5+json work for the other ~75% of rows
+    layout_lines_in = F.when((kb >= 40) & (kb < 65), F.col("lines"))
     payload = (
         F.when(kb < 40, _html_payload(F.col("lines")))
-        .when(kb < 65, _layout_payload_udf(F.col("vid"), F.col("lines")))
+        .when(kb < 65, _layout_payload_udf(F.col("vid"), layout_lines_in))
         .when(kb < 90, _markdown_payload(F.col("lines")))
         .when(kb < 98, _plain_payload(F.col("lines")))
         .when(kb % 2 == 0, F.lit(""))

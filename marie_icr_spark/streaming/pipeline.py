@@ -61,12 +61,20 @@ def stream_extract(
         from ..plans import lineage as L
 
         sess = batch_df.sparkSession
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucketed = batch_df.withColumn(
             "bucket",
             F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int"),
         )
-        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+        # persist: the batch runs TWO actions (partition write + stats
+        # collect) and without it each re-runs the mapInArrow extraction —
+        # the dominant cost — halving sink throughput
+        bucketed.persist()
+        # per-write dynamic overwrite (writer option, not a session conf —
+        # a leaked session setting would silently change every later
+        # partitioned overwrite in the shared session to dynamic)
+        bucketed.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(
             os.path.join(output_dir, f"batch={batch_id}")
         )
         stats = (
@@ -99,6 +107,7 @@ def stream_extract(
             )
             for r in stats
         ]
+        bucketed.unpersist()
         if rows:
             (
                 sess.createDataFrame(rows, L.LINEAGE_SCHEMA)
@@ -168,8 +177,18 @@ def stream_kind_counts(
     """Watermarked (sliding) window counts of turns per payload kind.
 
     Returns (query, memory_sink_name); read results from the in-memory sink
-    table. Late rows beyond the watermark are dropped — the bounded-state
-    contract a 10^12-turn stream needs.
+    table.
+
+    Output-mode caveat: THIS function uses ``complete`` mode because its
+    sink is the in-memory test/demo table and a bounded ``availableNow``
+    run must flush every window (append would hold back windows newer than
+    the final watermark) — in complete mode Spark keeps all window state
+    and still aggregates late rows, so this exact form is NOT the unbounded
+    10^12-turn shape. The production-shaped twins are
+    :func:`stream_sessionize` (update mode) and :func:`stream_extract`
+    (foreachBatch): put this aggregation behind ``outputMode("append")`` +
+    a real sink and the declared watermark then does drop late rows and
+    bound state to the open windows.
     """
     stream = read_transcript_stream(spark, input_dir)
     extracted = extract_turns(stream)  # carries ts through

@@ -182,3 +182,31 @@ def test_extract_turn_never_raises():
     for bad in ["", None, "[", "{", "<", "<a", "```", "\x00\x01", "[{]}", "{}"]:
         res = extract_turn(bad)
         assert res.payload_kind in ("empty", "plain", "markdown", "html", "layout")
+
+
+def test_html_quoted_gt_does_not_truncate_tag():
+    """A '>' inside a quoted attribute value is attribute data, not the
+    tag end: the attribute must be seen whole (boilerplate detection on
+    the real value) and nothing from the tag may leak as content."""
+    from marie_icr_spark.extractors.html import extract_html
+
+    out = extract_html('<div class="a>b">text</div>')
+    assert out["text"] == "text"  # no 'b">' junk words
+    # boilerplate keyword AFTER the quoted '>' still strips the block
+    out2 = extract_html(
+        '<div class="x>cookie-banner">We use cookies</div><p>real</p>'
+    )
+    assert "cookies" not in out2["text"]
+    assert "real" in out2["text"]
+
+
+def test_html_uppercase_attr_names_feed_boilerplate():
+    """HTML attribute names are case-insensitive: CLASS= must reach the
+    boilerplate heuristic like class= does."""
+    from marie_icr_spark.extractors.html import extract_html
+
+    out = extract_html(
+        '<div CLASS="cookie-banner">We use cookies</div><p>keep this</p>'
+    )
+    assert "cookies" not in out["text"]
+    assert "keep this" in out["text"]
