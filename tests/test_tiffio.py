@@ -277,6 +277,77 @@ def test_big_endian_header_parses():
     assert pages[0][256] == [9] and pages[0][257] == [7]
 
 
+def test_big_endian_pixel_decode_multipage():
+    """Full MM (big-endian) pixel decode — the encoder only writes II, so
+    this path is reachable only from foreign files: two uncompressed gray
+    pages, second with an out-of-line (>4 byte) StripOffsets/ByteCounts
+    array, chained IFDs, values byte-swapped vs the II layout."""
+    import struct
+
+    rng = np.random.default_rng(11)
+    img1 = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    img2 = rng.integers(0, 256, (4, 2), dtype=np.uint8)
+
+    def e(tag, typ, count, value):
+        if typ == 3 and count == 1:
+            return struct.pack(">HHIHH", tag, typ, count, value, 0)
+        return struct.pack(">HHII", tag, typ, count, value)
+
+    out = bytearray(b"MM\x00*\x00\x00\x00\x00")
+    patch_at = 4
+    for img, split in ((img1, False), (img2, True)):
+        h, w = img.shape
+        if split:  # rps=2 → 2 strips, arrays stored out of line
+            rps = 2
+            offs, counts = [], []
+            for y0 in range(0, h, rps):
+                strip = img[y0 : y0 + rps].tobytes()
+                offs.append(len(out))
+                counts.append(len(strip))
+                out += strip
+            if len(out) & 1:
+                out.append(0)
+            offs_at = len(out)
+            out += struct.pack(">%dI" % len(offs), *offs)
+            counts_at = len(out)
+            out += struct.pack(">%dI" % len(counts), *counts)
+            strip_entries = [
+                e(273, 4, len(offs), offs_at),
+                e(279, 4, len(counts), counts_at),
+            ]
+        else:
+            rps = h
+            strip_off = len(out)
+            out += img.tobytes()
+            if len(out) & 1:
+                out.append(0)
+            strip_entries = [
+                e(273, 4, 1, strip_off),
+                e(279, 4, 1, img.size),
+            ]
+        ifd_off = len(out)
+        struct.pack_into(">I", out, patch_at, ifd_off)
+        entries = [
+            e(256, 4, 1, w), e(257, 4, 1, h), e(258, 3, 1, 8),
+            e(259, 3, 1, T.COMP_NONE), e(262, 3, 1, 1),
+            *strip_entries, e(277, 3, 1, 1), e(278, 4, 1, rps),
+        ]
+        entries.sort(key=lambda b: struct.unpack_from(">H", b)[0])
+        out += struct.pack(">H", len(entries))
+        for x in entries:
+            out += x
+        patch_at = len(out)
+        out += b"\x00\x00\x00\x00"
+    pages = T.decode_tiff_frames(bytes(out))
+    assert len(pages) == 2
+    for (pw, ph, rgb), img in zip(pages, (img1, img2)):
+        h, w = img.shape
+        assert (pw, ph) == (w, h)
+        arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+        assert np.array_equal(arr[:, :, 0], img)
+        assert np.array_equal(arr[:, :, 1], img)
+
+
 def test_zip_stored_size_formula():
     """Pin the stdlib zipfile layout q_zip_pack's oracle relies on: a
     STORED archive with pinned 1980 timestamps has the exact arithmetic
