@@ -29,6 +29,35 @@ def test_roundtrip_basic():
     ]
 
 
+def test_damaged_xref_still_decodes():
+    """The parser is documented as an xref-free recovery walk — corrupting
+    every xref offset (what a truncating writer or transfer glitch leaves
+    behind) must not affect decoding, and neither must dropping the whole
+    xref/trailer tail after the last endobj."""
+    pages = [
+        PdfPage(200, 100, [(10, 5, 72, "hello"), (10, 60, 72, "wörld")]),
+        PdfPage(80, 400, [(13, 5, 388, "tail")]),
+    ]
+    blob = encode_pdf(pages)
+    want = [(p.width, p.height, p.ops) for p in pages]
+
+    # zero every offset digit in the xref table
+    xat = blob.rindex(b"xref")
+    tat = blob.rindex(b"trailer")
+    table = blob[xat:tat]
+    broken = blob[:xat] + table.replace(b"1", b"0").replace(
+        b"2", b"0"
+    ).replace(b"3", b"0").replace(b"4", b"0") + blob[tat:]
+    assert broken != blob
+    out = decode_pdf_pages(broken)
+    assert [(p.width, p.height, p.ops) for p in out] == want
+
+    # amputate the xref + trailer entirely
+    cut = blob[: blob.rindex(b"endobj") + 6]
+    out = decode_pdf_pages(cut)
+    assert [(p.width, p.height, p.ops) for p in out] == want
+
+
 def test_roundtrip_property():
     import random
 
