@@ -274,14 +274,17 @@ def fast_band_lines_py(boxes: list[list[int]]) -> tuple[list, list[int]] | None:
     if n == 0:
         return None
     seen = set()
+    add = seen.add
     for b in boxes:
         if b[3] <= 0:
             return None
-        seen.add((b[0], b[1], b[2], b[3]))
+        add(tuple(b))
     if len(seen) != n:
         return None
 
-    order = sorted(range(n), key=lambda i: boxes[i][1])  # stable y0 sort
+    # stable y0 sort; bound method key avoids a lambda frame per element
+    ys = [b[1] for b in boxes]
+    order = sorted(range(n), key=ys.__getitem__)
     comp = [0] * n
     first = boxes[order[0]]
     run_max = first[1] + first[3]

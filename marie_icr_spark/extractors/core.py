@@ -22,7 +22,12 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from .html import extract_html, looks_like_html
-from .layout import extract_layout, extract_layout_text, parse_layout_payload
+from .layout import (
+    extract_layout,
+    extract_layout_text,
+    extract_layout_tuples,
+    parse_layout_payload,
+)
 from .markdown import extract_markdown, looks_like_markdown
 from .textnorm import normalize_plain, span_count
 
@@ -42,9 +47,11 @@ def _sniff(text: str) -> tuple[str, tuple[list, list] | None]:
     """Classify a turn payload; returns (kind, parsed (texts, boxes)|None).
     Order matters and is pinned: empty → layout(JSON) → html → markdown →
     plain."""
-    if text is None or not text.strip():
+    # lstrip() is empty iff strip() is empty, so one scan decides both the
+    # blank-payload case and the JSON first-char probe
+    s = text.lstrip() if text is not None else ""
+    if not s:
         return "empty", None
-    s = text.lstrip()
     if s[0] in "[{":
         parsed = parse_layout_payload(text)
         if parsed is not None:
@@ -90,3 +97,31 @@ def extract_turn(
         return TurnExtraction(res["text"], span_count(res["text"]), "markdown")
     out = normalize_plain(text)
     return TurnExtraction(out, span_count(out), "plain")
+
+
+def extract_turn_arrow(
+    text: str | None, mode: str = "sparse"
+) -> tuple[str, str, int, list[tuple], list[tuple]]:
+    """``extract_turn(..., with_structs=True)`` for the Spark Arrow boundary:
+    returns ``(payload_kind, extracted_text, span_count, word_tuples,
+    line_tuples)`` with the structs already as field-ordered tuples
+    (``extractors.layout.extract_layout_tuples``), skipping the dict build +
+    dict→tuple reconversion of the golden path. Value-identical to
+    ``extract_turn`` (certified by test + corpus diff); the golden dict form
+    stays the single-process reference."""
+    kind, parsed = _sniff(text or "")
+    if kind == "empty":
+        return "empty", "", 0, [], []
+    assert text is not None
+    if kind == "layout":
+        texts, boxes = parsed if parsed is not None else ([], [])
+        out, words, lines = extract_layout_tuples(texts, boxes, mode=mode)
+        return "layout", out, span_count(out), words, lines
+    if kind == "html":
+        out = extract_html(text)["text"]
+        return "html", out, span_count(out), [], []
+    if kind == "markdown":
+        out = extract_markdown(text)["text"]
+        return "markdown", out, span_count(out), [], []
+    out = normalize_plain(text)
+    return "plain", out, span_count(out), [], []

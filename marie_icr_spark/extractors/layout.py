@@ -150,21 +150,33 @@ def extract_layout_text(
     cost for the default ``with_structs=False`` query.
     """
     mode = _normalize_mode(mode)
-    texts: list[str] = []
-    boxes: list[list[int]] = []
-    for t, b in zip(texts_in, boxes_in):
-        if b[2] > 0 and b[3] > 0:
-            texts.append(t)
-            boxes.append(b)
+    # degenerate-box filter; zero-copy reuse when nothing is filtered (the
+    # overwhelmingly common case) — neither list is mutated downstream
+    if all(b[2] > 0 and b[3] > 0 for b in boxes_in):
+        texts, boxes = texts_in, boxes_in
+    else:
+        texts, boxes = [], []
+        for t, b in zip(texts_in, boxes_in):
+            if b[2] > 0 and b[3] > 0:
+                texts.append(t)
+                boxes.append(b)
     if not texts:
         return ""
     if mode == "raw_line":
         return join_words(texts)
     line_no = _line_numbers(boxes, mode)
-    order = sorted(range(len(texts)), key=lambda i: boxes[i][0])  # stable x
+    # stable x-sort; bound method key avoids a lambda frame per element
+    xs = [b[0] for b in boxes]
+    order = sorted(range(len(texts)), key=xs.__getitem__)
     by_line: dict[int, list[str]] = {}
+    get = by_line.get
     for i in order:
-        by_line.setdefault(line_no[i], []).append(texts[i])
+        ln = line_no[i]
+        lst = get(ln)
+        if lst is None:
+            by_line[ln] = [texts[i]]
+        else:
+            lst.append(texts[i])
     return join_lines([join_words(by_line[ln]) for ln in sorted(by_line)])
 
 
@@ -251,3 +263,97 @@ def extract_layout(
 
     text = join_lines([ln["text"] for ln in sorted(out_lines, key=lambda k: k["line"])])
     return {"text": text, "words": out_words, "lines": out_lines}
+
+
+def extract_layout_tuples(
+    texts_in: list[str], boxes_in: list[list[int]], mode: str = "sparse"
+) -> tuple[str, list[tuple], list[tuple]]:
+    """``extract_layout`` emitting field-ordered tuples for the Arrow
+    boundary instead of dicts — (text, word_tuples, line_tuples) with
+    word = (id, text, confidence, box, line, word_index) and
+    line = (line, wordids, text, bbox, confidence), exactly the schemas of
+    ``operators.extraction``. Value-identical to running ``extract_layout``
+    and converting each dict (certified by test + corpus diff); skipping
+    the dict build + reconversion roughly halves the struct-path cost.
+    The pure-Python golden contract keeps using the dict form.
+    """
+    mode = _normalize_mode(mode)
+    if all(b[2] > 0 and b[3] > 0 for b in boxes_in):
+        texts, boxes_list = texts_in, boxes_in
+    else:
+        texts, boxes_list = [], []
+        for t, b in zip(texts_in, boxes_in):
+            if b[2] > 0 and b[3] > 0:
+                texts.append(t)
+                boxes_list.append(b)
+    if not texts:
+        return "", [], []
+    n = len(texts)
+
+    if mode == "raw_line":
+        text = join_words(texts)
+        return (
+            text,
+            [
+                (i, t, _WORD_CONF_R3, boxes_list[i], 1, i)
+                for i, t in enumerate(texts)
+            ],
+            [
+                (
+                    1,
+                    list(range(n)),
+                    text,
+                    envelope(boxes_list),
+                    round(WORD_CONFIDENCE, 4),
+                )
+            ],
+        )
+
+    line_list = _line_numbers(boxes_list, mode)
+
+    # LTR reindex by x: id = rank in x order; group per line in one pass
+    # (x order within the line is preserved), exactly as extract_layout.
+    xs = [b[0] for b in boxes_list]
+    order = sorted(range(n), key=xs.__getitem__)
+    by_line: dict[int, list[tuple[int, int]]] = {}
+    get = by_line.get
+    for rank, idx in enumerate(order):
+        ln = line_list[idx]
+        e = (rank, idx)
+        lst = get(ln)
+        if lst is None:
+            by_line[ln] = [e]
+        else:
+            lst.append(e)
+
+    out_words: list[tuple] = []
+    out_lines: list[tuple] = []
+    line_texts: list[str] = []
+    word_index = 0
+    for i, ln in enumerate(sorted(by_line)):
+        picks = by_line[ln]
+        wordids = []
+        wtexts = []
+        pboxes = []
+        for rank, idx in picks:
+            out_words.append(
+                (rank, texts[idx], _WORD_CONF_R3, boxes_list[idx], ln,
+                 word_index)
+            )
+            word_index += 1
+            wordids.append(rank)
+            wtexts.append(texts[idx])
+            pboxes.append(boxes_list[idx])
+        ltext = join_words(wtexts)
+        line_texts.append(ltext)
+        out_lines.append(
+            (
+                i + 1,
+                wordids,
+                ltext,
+                envelope(pboxes),
+                round(sum(_WORD_CONF_R3 for _ in picks) / len(picks), 4),
+            )
+        )
+
+    return join_lines(line_texts), out_words, out_lines

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..extractors.core import extract_turn
+from ..extractors.core import extract_turn, extract_turn_arrow
 
 WORD_TYPE = T.ArrayType(
     T.StructType(
@@ -133,15 +133,24 @@ def _extract_batches(
         texts = rb.column(names.index("text")).to_pylist()
         kinds, outs, spans = [], [], []
         words, lines = [], []
-        for t in texts:
-            r = extract_turn(t, mode=mode, with_structs=with_structs)
-            kinds.append(r.payload_kind)
-            if need_text:
-                outs.append(r.extracted_text)
-            spans.append(r.span_count)
-            if with_structs:
-                words.append(_word_tuples(r.words))
-                lines.append(_line_tuples(r.lines))
+        if with_structs:
+            # tuple-direct twin: structs arrive already in Arrow field
+            # order, skipping the dict build + dict→tuple reconversion
+            for t in texts:
+                kind, out, span, wts, lts = extract_turn_arrow(t, mode=mode)
+                kinds.append(kind)
+                if need_text:
+                    outs.append(out)
+                spans.append(span)
+                words.append(wts)
+                lines.append(lts)
+        else:
+            for t in texts:
+                r = extract_turn(t, mode=mode, with_structs=False)
+                kinds.append(r.payload_kind)
+                if need_text:
+                    outs.append(r.extracted_text)
+                spans.append(r.span_count)
         # passthrough columns are forwarded as the arrays they arrived in —
         # no pandas roundtrip, no copy
         arrays = [
