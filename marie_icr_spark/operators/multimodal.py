@@ -490,15 +490,35 @@ def label_components_4(img) -> int:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
+    h, w = img.shape
+    if h == 0 or w == 0:
+        return 0
+    fg = (img != 0).astype(np.int8)
+    # run boundaries for ALL rows in one pass (zero-padded column diff)
+    pad = np.zeros((h, w + 2), np.int8)
+    pad[:, 1:-1] = fg
+    d = pad[:, 1:] - pad[:, :-1]
+    ys, xs_s = np.nonzero(d == 1)
+    ys_e, xs_e = np.nonzero(d == -1)  # same ys, aligned run-for-run
+    row_split = np.searchsorted(ys, np.arange(1, h))
+    starts_per_row = np.split(xs_s, row_split)
+    ends_per_row = np.split(xs_e, np.searchsorted(ys_e, np.arange(1, h)))
+    # a row identical to its predecessor repeats its runs and merges each
+    # run with the aligned previous run only (runs within a row are
+    # separated by >= 1 background pixel, so no cross-run overlap): the
+    # would-be fresh labels all join existing roots and can never become
+    # roots themselves, so reusing `prev` unchanged preserves the count
+    eq_prev = np.zeros(h, dtype=bool)
+    if h > 1:
+        eq_prev[1:] = (fg[1:] == fg[:-1]).all(axis=1)
+
     prev: list[tuple[int, int, int]] = []  # (start, end, label) sorted
-    for y in range(img.shape[0]):
-        row = img[y]
-        d = np.diff(np.concatenate(([0], (row != 0).astype(np.int8), [0])))
-        starts = np.flatnonzero(d == 1)
-        ends = np.flatnonzero(d == -1)
+    for y in range(h):
+        if eq_prev[y]:
+            continue
         cur: list[tuple[int, int, int]] = []
         j = 0
-        for s, e in zip(starts.tolist(), ends.tolist()):
+        for s, e in zip(starts_per_row[y].tolist(), ends_per_row[y].tolist()):
             lbl = len(parent)
             parent.append(lbl)
             # merge with all prev-row runs overlapping [s, e)

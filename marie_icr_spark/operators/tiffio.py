@@ -74,6 +74,24 @@ class _BitReader:
         self._pos += 1
         return bit
 
+    def peek_all_ones(self, n: int) -> bool:
+        """True iff the next ``n`` bits are all 1, without advancing.
+        Bulk byte-window compare (one int.from_bytes), not n bit reads —
+        the repeated-row fast path of the G4 decoder rides on this."""
+        pos = self._pos
+        end = pos + n
+        if end > len(self._d) * 8:
+            return False
+        first = pos >> 3
+        last = (end - 1) >> 3
+        chunk = int.from_bytes(self._d[first : last + 1], "big")
+        shift = (last - first + 1) * 8 - (end - (first << 3))
+        mask = (1 << n) - 1
+        return (chunk >> shift) & mask == mask
+
+    def skip(self, n: int) -> None:
+        self._pos += n
+
 
 # ---------------------------------------------------------------------------
 # PackBits (compression 32773)
@@ -378,12 +396,38 @@ def _dec_row(ref: list[int], width: int, br: _BitReader) -> np.ndarray:
 
 def g4_encode(img: np.ndarray) -> bytes:
     """CCITT Group-4 stream for a 2-D 0/1 array (1 = black), EOFB
-    terminated, byte aligned."""
+    terminated, byte aligned.
+
+    Two bulk fast paths (bit-identical output, certified by byte-compare
+    against the plain per-row loop): transitions for ALL rows come from one
+    whole-image np.nonzero instead of h per-row calls, and a row identical
+    to its reference row encodes as exactly len(ref)+1 V0 codes — i.e.
+    len(ref)+1 one-bits written in one call (the encoder loop provably
+    emits V0 at every step when cur == ref). Document rasters are
+    dominated by repeated rows, so this removes most per-transition work.
+    """
     h, w = img.shape
     bw = _BitWriter()
+    # all rows' color-change positions in one pass
+    prep = np.zeros((h, w + 1), np.uint8)
+    prep[:, 1:] = img
+    ys, xs = np.nonzero(prep[:, 1:] != prep[:, :-1])
+    splits = np.searchsorted(ys, np.arange(1, h))
+    per_row = np.split(xs, splits)
+    eq_prev = np.zeros(h, dtype=bool)
+    if h > 1:
+        eq_prev[1:] = (img[1:] == img[:-1]).all(axis=1)
+
     ref: list[int] = []  # imaginary all-white reference line
     for y in range(h):
-        cur = _transitions(img[y])
+        arr = per_row[y]
+        # cur == ref  ⟺  pixel row equals previous row (y>0) or is blank
+        # (y == 0, ref being the imaginary all-white line)
+        if eq_prev[y] if y else arr.size == 0:
+            n1 = int(arr.size) + 1
+            bw.write((1 << n1) - 1, n1)  # n1 × V0
+            continue  # ref unchanged
+        cur = arr.tolist()
         _enc_row(cur, ref, w, bw)
         ref = cur
     bw.write(1, 12)  # EOFB = EOL + EOL
@@ -400,6 +444,18 @@ def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
     ref: list[int] = []
     out = np.zeros((height, width), np.uint8)
     for y in range(height):
+        # repeated-row fast path, dual of the encoder's: len(ref)+1 leading
+        # one-bits can ONLY be len(ref)+1 V0 codes, which exactly complete
+        # a row identical to the reference row (the (len(ref)+1)-th V0
+        # lands a0 on width regardless of what follows in the stream)
+        n1 = len(ref) + 1
+        if br.peek_all_ones(n1):
+            br.skip(n1)
+            if y > 0:
+                out[y] = out[y - 1]
+            # y == 0: a single leading 1 with the empty reference line is a
+            # blank row — out[0] is already zeros, ref stays []
+            continue
         row = _dec_row(ref, width, br)
         out[y] = row
         ref = _transitions(row)

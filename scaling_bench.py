@@ -52,7 +52,28 @@ spark.stop()
 """
 
 
-def run_level(cores: int, path: str) -> dict:
+def wait_for_quiet(max_load: float, timeout_s: float = 600.0) -> dict:
+    """Load gate (protocol hardening): hold each sample until the 1-min
+    load average drops below ``max_load``, so tenant bursts are excluded
+    UP FRONT instead of by discarding samples after the fact. Returns the
+    gate telemetry recorded alongside the sample."""
+    import time
+
+    t0 = time.time()
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > max_load and (waited := time.time() - t0) < timeout_s:
+        time.sleep(10.0)
+        load = os.getloadavg()[0]
+    return {
+        "load_1m_at_start": round(load, 2),
+        "gate_waited_s": round(waited, 1),
+        "gate_timed_out": load > max_load,
+    }
+
+
+def run_level(cores: int, path: str, max_load: float | None = None) -> dict:
+    gate = wait_for_quiet(max_load) if max_load is not None else {}
     cmd = [sys.executable, "-c", _CHILD, str(cores), path]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
@@ -63,7 +84,10 @@ def run_level(cores: int, path: str) -> dict:
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"child local[{cores}] failed")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    res.update(gate)
+    res["load_1m_at_end"] = round(os.getloadavg()[0], 2)
+    return res
 
 
 def main() -> None:
@@ -75,6 +99,13 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=int(
         os.environ.get("BENCH_REPLICATE", "120")))
     ap.add_argument("--record", action="store_true")
+    ap.add_argument("--attempts", type=int, default=2)
+    ap.add_argument(
+        "--max-load", type=float, default=4.0,
+        help="load gate: wait (up to 10 min) for 1-min loadavg below this "
+        "before each sample, so tenant bursts are excluded up front "
+        "rather than by discarding samples afterwards",
+    )
     args = ap.parse_args()
 
     # materialize once (shared input for both levels)
@@ -88,13 +119,15 @@ def main() -> None:
     spark.stop()
 
     # Noisy-neighbor interference on this shared sandbox is one-sided (it
-    # only ever slows a run), so measure the (N, 4N) pair twice and keep the
-    # best throughput seen at each level.
-    attempts = 2
+    # only ever slows a run), so each sample is load-gated up front and the
+    # best throughput per level is kept; ALL samples are recorded in the
+    # output so the pass never rides on silently discarded readings.
     lo = hi = None
-    for _ in range(attempts):
-        cur_lo = run_level(args.n, path)
-        cur_hi = run_level(args.xn, path)
+    samples = []
+    for _ in range(args.attempts):
+        cur_lo = run_level(args.n, path, max_load=args.max_load)
+        cur_hi = run_level(args.xn, path, max_load=args.max_load)
+        samples.append({"n": cur_lo, "xn": cur_hi})
         if lo is None or cur_lo["turns_per_sec"] > lo["turns_per_sec"]:
             lo = cur_lo
         if hi is None or cur_hi["turns_per_sec"] > hi["turns_per_sec"]:
@@ -107,6 +140,7 @@ def main() -> None:
         "unit": f"x (local[{args.n}] -> local[{args.xn}], taskset-pinned)",
         "n": lo,
         "xn": hi,
+        "samples": samples,
         "sf": os.path.basename(os.path.normpath(args.sf_dir)),
         "pass": eff >= 0.8,
     }

@@ -138,3 +138,35 @@ def test_repetition_counts_twin_equivalence(spark):
     }
     fast = {i: _py_repetition_counts(t) for i, t in rows}
     assert fast == slow
+
+
+def test_cc_materializes_edges_once(spark):
+    """The symmetrized edge set is checkpointed before the round loop, so
+    the edge frame's upstream is evaluated exactly once per call — NOT once
+    per round (regression guard for the round-multiplied pair-generation
+    cost found in round 6)."""
+    from pyspark.sql import functions as F
+
+    from marie_icr_spark.operators.components import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(pdfs):
+        for pdf in pdfs:
+            acc.add(len(pdf))
+            yield pdf
+
+    # a 12-vertex chain needs several propagation rounds even with pointer
+    # jumping, so a per-round recomputation would multiply the accumulator
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    ).mapInPandas(count_rows, "id_a long, id_b long")
+
+    labels = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert labels == {v: 0 for v in range(12)}
+    # one evaluation of the 11-row upstream (the sym checkpoint); a
+    # per-round recompute would make this a multiple of 11
+    assert acc.value == 11
