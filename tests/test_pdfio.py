@@ -41,14 +41,23 @@ def test_damaged_xref_still_decodes():
     blob = encode_pdf(pages)
     want = [(p.width, p.height, p.ops) for p in pages]
 
-    # zero every offset digit in the xref table
-    xat = blob.rindex(b"xref")
-    tat = blob.rindex(b"trailer")
+    # zero every offset digit in the xref table. NB: a bare rindex(b"xref")
+    # matches inside "startxref" (after the trailer), so anchor on the
+    # newline-delimited section keywords to slice the actual table.
+    xat = blob.rindex(b"\nxref\n") + 1
+    tat = blob.rindex(b"\ntrailer\n") + 1
     table = blob[xat:tat]
-    broken = blob[:xat] + table.replace(b"1", b"0").replace(
+    broken_table = table.replace(b"1", b"0").replace(
         b"2", b"0"
-    ).replace(b"3", b"0").replace(b"4", b"0") + blob[tat:]
-    assert broken != blob
+    ).replace(b"3", b"0").replace(b"4", b"0")
+    broken = blob[:xat] + broken_table + blob[tat:]
+    # prove an OFFSET entry actually changed (not just the '65535'
+    # generation digits): the first 10-digit offset field differs
+    import re as _re
+
+    old_off = _re.search(rb"\n(\d{10}) \d{5} n", table)
+    new_off = _re.search(rb"\n(\d{10}) \d{5} n", broken_table)
+    assert old_off and new_off and old_off.group(1) != new_off.group(1)
     out = decode_pdf_pages(broken)
     assert [(p.width, p.height, p.ops) for p in out] == want
 

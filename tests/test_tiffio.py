@@ -344,8 +344,7 @@ def test_big_endian_pixel_decode_multipage():
         h, w = img.shape
         assert (pw, ph) == (w, h)
         arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
-        assert np.array_equal(arr[:, :, 0], img)
-        assert np.array_equal(arr[:, :, 1], img)
+        assert np.array_equal(arr, np.repeat(img[:, :, None], 3, axis=2))
 
 
 def test_zip_stored_size_formula():
