@@ -273,14 +273,13 @@ def fast_band_lines_py(boxes: list[list[int]]) -> tuple[list, list[int]] | None:
     n = len(boxes)
     if n == 0:
         return None
-    seen = set()
-    add = seen.add
+    # C-level dup probe (set over map(tuple)) beats the interleaved
+    # add-per-box loop ~1.4x; both gates just route to the general ladder
+    if len(set(map(tuple, boxes))) != n:
+        return None
     for b in boxes:
         if b[3] <= 0:
             return None
-        add(tuple(b))
-    if len(seen) != n:
-        return None
 
     # stable y0 sort; bound method key avoids a lambda frame per element
     ys = [b[1] for b in boxes]
