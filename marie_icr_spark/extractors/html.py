@@ -82,9 +82,12 @@ _TAG_FLAGS["a"] = _TAG_FLAGS.get("a", 0) | F_ANCHOR
 del _t
 
 
+_SNIFF_TAG_RE = re.compile(r"<\s*/?\s*[a-zA-Z][a-zA-Z0-9-]*(\s|>|/)")
+
+
 def looks_like_html(text: str) -> bool:
     """Cheap payload sniff: does this contain a real-looking tag?"""
-    return re.search(r"<\s*/?\s*[a-zA-Z][a-zA-Z0-9-]*(\s|>|/)", text) is not None
+    return _SNIFF_TAG_RE.search(text) is not None
 
 
 def _is_boilerplate_attr(attrs: dict[str, str]) -> bool:
